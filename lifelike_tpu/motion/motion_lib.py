@@ -1,0 +1,176 @@
+"""Mocap motion library: clips as device arrays + batched interpolation.
+
+TPU-native counterpart of the reference MotionLib (reference
+primitive_level_env/motion_lib.py): same clip format — JSON files with
+`FrameDuration` (1/120 s) and `Frames` of 19 floats
+[x, y, z, qx, qy, qz, qw, 12 joint angles], leg order FR, FL, HR, HL — and
+the same interpolation semantics (lerp positions/joints, slerp orientation,
+finite-difference velocities over one frame step, motion_lib.py:117-166), but
+all clips are packed into one padded (num_clips, max_len, 19) array so that
+frame lookup and interpolation run batched under jit for thousands of
+parallel scenarios.
+
+Prioritized clip re-sampling p ~ (1 - avg_reward)^factor
+(reference primitive_level_env.py:236-240) stays host-side in the trainer.
+"""
+import json
+import os
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lifelike_tpu.math import quat
+
+# Future-goal horizon offsets in seconds (reference motion_lib.py:44).
+TIME_FUTURE = (1.0 / 30.0, 1.0 / 15.0, 1.0 / 3.0, 1.0)
+
+
+class MotionClips(NamedTuple):
+    """Packed clip data (device arrays)."""
+
+    frames: jnp.ndarray  # (C, T_max, 19) zero-padded
+    lengths: jnp.ndarray  # (C,) int frame counts
+    frame_step: float  # seconds per frame (1/120)
+    margin: int  # end-of-clip margin in frames (motion_lib.py:35)
+
+    @property
+    def num_clips(self):
+        return self.frames.shape[0]
+
+    def max_time(self, clip_idx):
+        """Latest time reset may sample: duration minus margin."""
+        return (self.lengths[clip_idx] - self.margin - 1) * self.frame_step
+
+
+class FrameState(NamedTuple):
+    """Interpolated reference state, same schema as RobotState kinematics."""
+
+    base_pos: jnp.ndarray  # (..., 3)
+    base_orn: jnp.ndarray  # (..., 4)
+    base_lin_vel: jnp.ndarray  # (..., 3)
+    base_ang_vel: jnp.ndarray  # (..., 3)
+    joint_pos: jnp.ndarray  # (..., 12)
+    joint_vel: jnp.ndarray  # (..., 12)
+
+
+def load_clips(data_path, policy_step=1.0 / 50.0, limit=None) -> MotionClips:
+    """Load all *.txt clips from a directory (or one file) into device arrays."""
+    if os.path.isdir(data_path):
+        files = sorted(
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith("txt")
+        )
+    else:
+        files = [data_path]
+    if limit:
+        files = files[:limit]
+    datas = [json.load(open(f)) for f in files]
+    return pack_clips(
+        [np.asarray(d["Frames"], dtype=np.float32) for d in datas],
+        frame_step=float(datas[0]["FrameDuration"]),
+        policy_step=policy_step,
+    )
+
+
+def pack_clips(frame_arrays, frame_step, policy_step=1.0 / 50.0) -> MotionClips:
+    lengths = np.array([len(f) for f in frame_arrays], dtype=np.int32)
+    T = int(lengths.max())
+    packed = np.zeros((len(frame_arrays), T, 19), dtype=np.float32)
+    for i, f in enumerate(frame_arrays):
+        assert f.shape[1] == 19, f.shape
+        packed[i, : len(f)] = f
+        packed[i, len(f):] = f[-1]  # pad with last frame (never sampled)
+    frame_rate = int(round(1.0 / frame_step))
+    margin = int(np.ceil(policy_step / frame_step)) + frame_rate + 2
+    return MotionClips(
+        frames=jnp.asarray(packed),
+        lengths=jnp.asarray(lengths),
+        frame_step=frame_step,
+        margin=margin,
+    )
+
+
+def _interp(clips: MotionClips, clip_idx, t):
+    """Interpolate clip `clip_idx` at time `t` (both broadcastable arrays)."""
+    fs = clips.frame_step
+    frame_id = jnp.floor(t / fs).astype(jnp.int32)
+    frac = (t - frame_id * fs) / fs
+    max_id = clips.lengths[clip_idx] - 2
+    frame_id = jnp.clip(frame_id, 0, max_id)
+    fc = clips.frames[clip_idx, frame_id]  # (..., 19)
+    fn = clips.frames[clip_idx, frame_id + 1]
+    return fc, fn, frac[..., None]
+
+
+def sample_frame(clips: MotionClips, clip_idx, t) -> FrameState:
+    """Reference-state lookup, matching motion_lib.py interpolation exactly."""
+    fc, fn, frac = _interp(clips, clip_idx, t)
+    fs = clips.frame_step
+    base_pos = fc[..., 0:3] + frac * (fn[..., 0:3] - fc[..., 0:3])
+    base_orn = quat.slerp(fc[..., 3:7], fn[..., 3:7], frac[..., 0])
+    base_lin_vel = (fn[..., 0:3] - fc[..., 0:3]) / fs
+    base_ang_vel = quat.diff_rotvec(fn[..., 3:7], fc[..., 3:7]) / fs
+    joint_pos = fc[..., 7:] + frac * (fn[..., 7:] - fc[..., 7:])
+    joint_vel = (fn[..., 7:] - fc[..., 7:]) / fs
+    return FrameState(
+        base_pos=base_pos,
+        base_orn=base_orn,
+        base_lin_vel=base_lin_vel,
+        base_ang_vel=base_ang_vel,
+        joint_pos=joint_pos,
+        joint_vel=joint_vel,
+    )
+
+
+def sample_future(clips: MotionClips, clip_idx, t):
+    """Future reference states at t + TIME_FUTURE; stacked on a new axis -2.
+
+    Mirrors motion_lib.py:75-86 (goals at +1/30, +1/15, +1/3, +1 s).
+    """
+    offsets = jnp.asarray(TIME_FUTURE)
+    ts = jnp.asarray(t)[..., None] + offsets
+    ci = jnp.asarray(clip_idx)[..., None]
+    return sample_frame(clips, ci, ts)
+
+
+def future_goal_features(base_pos, base_orn, future: FrameState):
+    """Relative future-goal features in the robot base frame.
+
+    Per future frame: [delta_pos_base (3), axis*angle of relative rotation (3),
+    joint_pos (12)] -> concatenated (..., 4*18 = 72). Matches reference
+    primitive_level_env.py:299-317 `calculate_future`.
+    """
+    q_inv = quat.inv(base_orn)[..., None, :]
+    dpos = quat.rotate(q_inv, future.base_pos - base_pos[..., None, :])
+    # relative rotation r_b^{-1} * r_goal, expressed as rotvec
+    rel = quat.mul(q_inv, future.base_orn)
+    rv = quat.to_rotvec(rel)
+    feats = jnp.concatenate([dpos, rv, future.joint_pos], axis=-1)
+    return feats.reshape(feats.shape[:-2] + (-1,))
+
+
+def is_ended(clips: MotionClips, clip_idx, t):
+    """End-of-clip check (reference motion_lib.py:168-172)."""
+    frame_id = jnp.floor(t / clips.frame_step).astype(jnp.int32)
+    return frame_id >= clips.lengths[clip_idx] - clips.margin - 1
+
+
+def make_synthetic_clip(num_frames=240, frame_step=1.0 / 120.0, seed=0):
+    """A smooth synthetic walking-ish clip for tests (no reference data needed)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames) * frame_step
+    frames = np.zeros((num_frames, 19), dtype=np.float32)
+    frames[:, 0] = 0.5 * t  # forward drift
+    frames[:, 2] = 0.33 + 0.01 * np.sin(2 * np.pi * 1.5 * t)
+    yaw = 0.05 * np.sin(2 * np.pi * 0.2 * t)
+    frames[:, 5] = np.sin(yaw / 2)
+    frames[:, 6] = np.cos(yaw / 2)
+    base = np.array([-0.03, -0.75, 1.6] * 4, dtype=np.float32)
+    phase = rng.uniform(0, 2 * np.pi, size=12).astype(np.float32)
+    amp = np.array([0.05, 0.25, 0.3] * 4, dtype=np.float32)
+    frames[:, 7:] = base + amp * np.sin(
+        2 * np.pi * 1.5 * t[:, None] + phase[None, :]
+    )
+    return frames

@@ -1,0 +1,154 @@
+"""Physics stepping for the MAX quadruped: PD control + dynamics + contact.
+
+The jittable, batched replacement for the reference inner loop
+(reference primitive_level_env.py:202-210): 10 PD substeps at 500 Hz per
+50 Hz control step. The PD law matches reference legged_robot.py:119-148
+exactly: targets clipped to +-3 rad, tau = kp (q* - q) + kd (0 - qd),
+clipped to +-max_tau. URDF joint damping (0.1) and Coulomb joint friction
+(0.5 N m, smoothed) act as additional passive torques, matching the URDF
+<dynamics> tags Bullet honors.
+
+Everything is functional: `step(model, params, state, target_q) -> state`,
+vmap/pjit over leading batch axes.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lifelike_tpu.math import quat
+from lifelike_tpu.physics import dynamics
+from lifelike_tpu.physics.contact import ContactParams, sphere_ground_force
+from lifelike_tpu.physics.dynamics import Kinematics, RobotState
+
+
+class PhysicsParams(NamedTuple):
+    """Per-episode physics configuration (broadcastable leaves for batching)."""
+
+    kp: jnp.ndarray = 50.0  # reference example_pmc_train.sh:75
+    kd: jnp.ndarray = 0.5
+    max_tau: jnp.ndarray = 18.0
+    foot_friction: jnp.ndarray = 0.5
+    dt: float = 1.0 / 500.0
+    substeps: int = 10
+    ext_force: jnp.ndarray = jnp.zeros(3)  # PushRandomizer-style base force
+    contact: ContactParams = ContactParams()
+
+
+_LIMIT_K = 300.0  # joint-limit spring (N m / rad)
+_LIMIT_D = 2.0
+_TGT_CLIP = 3.0  # reference legged_robot.py:126
+
+
+def pd_torques(model, params: PhysicsParams, joint_pos, joint_vel, target_q):
+    tgt = jnp.clip(target_q, -_TGT_CLIP, _TGT_CLIP)
+    tau = params.kp * (tgt - joint_pos) + params.kd * (0.0 - joint_vel)
+    tau = jnp.clip(tau, -params.max_tau, params.max_tau)
+    return tau
+
+
+def passive_torques(model, joint_pos, joint_vel):
+    damping = jnp.asarray(model.joint_damping).reshape(-1)
+    friction = jnp.asarray(model.joint_friction).reshape(-1)
+    # Coulomb friction smoothed over 0.5 rad/s: effective viscosity near zero
+    # is friction/0.5 = 1 N m s/rad, inside the explicit stability budget for
+    # ~3e-3 kg m^2 distal joint inertia at dt=2 ms.
+    tau = -damping * joint_vel - friction * jnp.tanh(joint_vel / 0.5)
+    lower = jnp.asarray(model.joint_lower_flat)
+    upper = jnp.asarray(model.joint_upper_flat)
+    below = jnp.minimum(joint_pos - lower, 0.0)
+    above = jnp.maximum(joint_pos - upper, 0.0)
+    tau = tau - _LIMIT_K * (below + above)
+    tau = tau - _LIMIT_D * joint_vel * ((below < 0.0) | (above > 0.0))
+    return tau
+
+
+def _terrain_plane(p):
+    """Default flat ground: height 0, normal +z. p: (..., 3)."""
+    h = jnp.zeros(p.shape[:-1], dtype=p.dtype)
+    n = jnp.zeros_like(p).at[..., 2].set(1.0)
+    return h, n
+
+
+def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None):
+    """One 500 Hz physics substep (semi-implicit Euler)."""
+    terrain_fn = terrain_fn or _terrain_plane
+    kin = dynamics.forward_kinematics(model, state)
+    origin = state.base_pos
+
+    tau_act = pd_torques(model, params, state.joint_pos, state.joint_vel, target_q)
+    tau_j = (tau_act + passive_torques(model, state.joint_pos, state.joint_vel)).reshape(
+        state.joint_pos.shape[:-1] + (4, 3)
+    )
+    tau_b = jnp.zeros(state.base_pos.shape[:-1] + (6,), dtype=state.base_pos.dtype)
+
+    # Foot contacts (sphere r=0.025 fixed to shank tips, link index 2).
+    h, n = terrain_fn(kin.p_foot)
+    f_foot = sphere_ground_force(
+        kin.p_foot, kin.v_foot, model.foot_radius, h, n, params.contact,
+        mu=params.foot_friction,
+    )
+    tb, tj = dynamics.point_force_to_generalized(kin, origin, kin.p_foot, f_foot, 2)
+    tau_b = tau_b + tb
+    tau_j = tau_j + tj
+
+    # Wheel contacts (fixed to thighs, link index 1) keep crouch/fall plausible.
+    v_wheel = kin.v_link_origin[..., :, 1, :] + jnp.cross(
+        kin.w_link[..., :, 1, :], kin.p_wheel - kin.p_joint[..., :, 1, :]
+    )
+    hw, nw = terrain_fn(kin.p_wheel)
+    f_wheel = sphere_ground_force(
+        kin.p_wheel, v_wheel, model.wheel_radius, hw, nw, params.contact,
+        mu=params.foot_friction,
+    )
+    tb, tj = dynamics.point_force_to_generalized(kin, origin, kin.p_wheel, f_wheel, 1)
+    tau_b = tau_b + tb
+    tau_j = tau_j + tj
+
+    # External disturbance force on the base (PushRandomizer parity,
+    # reference push_randomizer.py:56-99): world-frame force at base origin.
+    ext = jnp.broadcast_to(params.ext_force, state.base_pos.shape)
+    tau_b = tau_b + jnp.concatenate([jnp.zeros_like(ext), ext], axis=-1)
+
+    # Subtract bias (C v + g), solve structured system.
+    bias_b, bias_j = dynamics.bias_forces(model, kin, state, origin)
+    Mb, F, Ml = dynamics.mass_matrix_blocks(model, kin, origin, state.base_pos)
+    a_base, qdd = dynamics.forward_dynamics(Mb, F, Ml, tau_b - bias_b, tau_j - bias_j)
+
+    # Spatial -> point acceleration of the base origin.
+    w = state.base_ang_vel
+    a_lin = a_base[..., 3:] + jnp.cross(w, state.base_lin_vel)
+    a_ang = a_base[..., :3]
+
+    dt = params.dt
+    new_lin = state.base_lin_vel + a_lin * dt
+    new_ang = w + a_ang * dt
+    new_qd = state.joint_vel + qdd.reshape(state.joint_vel.shape) * dt
+    return RobotState(
+        base_pos=state.base_pos + new_lin * dt,
+        base_orn=quat.integrate(state.base_orn, new_ang, dt),
+        base_lin_vel=new_lin,
+        base_ang_vel=new_ang,
+        joint_pos=state.joint_pos + new_qd * dt,
+        joint_vel=new_qd,
+    )
+
+
+def control_step(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None):
+    """One 50 Hz control step = `substeps` physics substeps with a held target.
+
+    Mirrors reference primitive_level_env.py:202-210 (target held constant
+    across the 10 inner PD steps).
+    """
+
+    def body(s, _):
+        return substep(model, params, s, target_q, terrain_fn), None
+
+    state, _ = jax.lax.scan(body, state, None, length=params.substeps)
+    return state
+
+
+def make_control_step(model, params: PhysicsParams, terrain_fn=None):
+    """Returns a jittable f(state, target_q) -> state closure."""
+    return partial(control_step, model, params, terrain_fn=terrain_fn)
