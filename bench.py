@@ -2,10 +2,13 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+Measures one full MPPI solve — population BENCH_POP rollouts of BENCH_HORIZON
+control steps x BENCH_SUBSTEPS physics substeps through the tile-layout
+dynamics (lifelike_tpu.physics.batched), tracking a mocap-style reference.
 The north-star target (BASELINE.md) is >=4096 parallel H=50 rollouts per MPC
-solve step at <10 ms p50 on TPU; vs_baseline here is target_ms / measured_ms,
-so values > 1.0 beat the target. Sizes can be overridden with env vars
-BENCH_POP, BENCH_HORIZON, BENCH_SUBSTEPS, BENCH_ITERS.
+solve at <10 ms p50 on TPU; vs_baseline = target_ms / measured_ms, so values
+> 1.0 beat the target. Override sizes with env vars BENCH_POP, BENCH_HORIZON,
+BENCH_SUBSTEPS, BENCH_ITERS.
 """
 import json
 import os
@@ -23,10 +26,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
     from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.physics import batched as B
     from lifelike_tpu.physics import engine
     from lifelike_tpu.physics.dynamics import RobotState
     from lifelike_tpu.robot.model import build_max_model
-    from lifelike_tpu.solver import mppi
+    from lifelike_tpu.solver import mppi, mppi_tl, rollout_tl
 
     model = build_max_model()
     clips = motion_lib.pack_clips(
@@ -35,6 +39,7 @@ def main():
     )
     params = engine.PhysicsParams(substeps=substeps)
     cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
+    c = B.tl_constants(model, dtype=jnp.float32)
 
     stand = jnp.asarray([-0.028, -0.779, 1.687] * 4, jnp.float32)
     state = RobotState(
@@ -45,29 +50,31 @@ def main():
         joint_pos=stand,
         joint_vel=jnp.zeros(12, jnp.float32),
     )
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
+    policy_dt = params.dt * params.substeps
 
     @jax.jit
-    def solve(key, state, u_warm):
-        u_opt, diag = mppi.mppi_step(
-            model, params, clips, cfg, key, state,
-            jnp.asarray(0), jnp.asarray(0.0, jnp.float32), u_warm,
+    def solve(key, tl_state, u_warm, t0):
+        ref = rollout_tl.precompute_reference(
+            model, clips, jnp.asarray(0), t0, horizon, policy_dt
         )
+        u_opt, diag = mppi_tl.mppi_step(c, params, cfg, key, tl_state, u_warm, ref)
         return u_opt, diag
 
     key = jax.random.PRNGKey(0)
-    u = jnp.zeros((horizon, 12), jnp.float32)
+    u = jnp.zeros((horizon, 4, 3), jnp.float32)
+    t0 = jnp.asarray(0.0, jnp.float32)
 
-    # warmup / compile
-    u_opt, diag = solve(key, state, u)
+    u_opt, diag = solve(key, tl, u, t0)  # warmup/compile
     jax.block_until_ready(u_opt)
 
     times = []
     for i in range(iters):
         k = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        u_opt, diag = solve(k, state, u)
+        t_start = time.perf_counter()
+        u_opt, diag = solve(k, tl, u, t0)
         jax.block_until_ready(u_opt)
-        times.append(time.perf_counter() - t0)
+        times.append(time.perf_counter() - t_start)
 
     p50_ms = float(np.percentile(times, 50) * 1e3)
     target_ms = 10.0

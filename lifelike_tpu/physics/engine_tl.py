@@ -1,0 +1,124 @@
+"""Tile-layout physics stepping: the TPU hot path.
+
+Mirrors lifelike_tpu.physics.engine (the readable oracle) with all fields in
+batch-trailing layout (see physics.batched). The PD law, passive torques,
+contact model and semi-implicit Euler integration are mathematically
+identical — tests/test_batched_layout.py asserts step-for-step equivalence
+against the oracle implementation.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lifelike_tpu.math import quat_tl
+from lifelike_tpu.physics import batched as B
+from lifelike_tpu.physics.batched import TLConstants, TLKin, TLState
+from lifelike_tpu.physics.contact import ContactParams
+from lifelike_tpu.physics.engine import _LIMIT_D, _LIMIT_K, _TGT_CLIP, PhysicsParams
+
+
+def _plane_terrain(p):
+    """p: (4, 3, Bs, L) -> heights (4, Bs, L), normals (4, 3, Bs, L)."""
+    h = jnp.zeros_like(p[:, 0])
+    n = jnp.zeros_like(p).at[:, 2].set(1.0)
+    return h, n
+
+
+def sphere_ground_force(pos, vel, radius, h, n, cp: ContactParams, mu):
+    """Tile-layout version of contact.sphere_ground_force.
+
+    pos/vel/n: (4, 3, Bs, L); h: (4, Bs, L); mu broadcastable to (4, Bs, L).
+    """
+    gap = (pos[:, 2] - h) - radius
+    pen = jnp.maximum(-gap, 0.0)
+    in_contact = pen > 0.0
+    vn = jnp.sum(vel * n, axis=1)
+    fn = cp.kn * pen + cp.dn * jnp.maximum(-vn, 0.0) * in_contact
+    fn = jnp.maximum(fn, 0.0) * in_contact
+    vt = vel - vn[:, None] * n
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1))
+    coef = jnp.minimum(
+        mu * fn / jnp.sqrt(vt_norm**2 + cp.v_slip**2), cp.fric_visc_cap
+    )
+    return fn[:, None] * n - coef[:, None] * vt
+
+
+def pd_torques(c: TLConstants, params: PhysicsParams, joint_pos, joint_vel, target_q):
+    """target_q: (4, 3, Bs, L) or broadcastable. Reference legged_robot.py:119-148."""
+    tgt = jnp.clip(target_q, -_TGT_CLIP, _TGT_CLIP)
+    tau = params.kp * (tgt - joint_pos) + params.kd * (0.0 - joint_vel)
+    return jnp.clip(tau, -params.max_tau, params.max_tau)
+
+
+def passive_torques(c: TLConstants, joint_pos, joint_vel):
+    tau = -c.damping * joint_vel - c.friction * jnp.tanh(joint_vel / 0.5)
+    below = jnp.minimum(joint_pos - c.lower, 0.0)
+    above = jnp.maximum(joint_pos - c.upper, 0.0)
+    tau = tau - _LIMIT_K * (below + above)
+    tau = tau - _LIMIT_D * joint_vel * ((below < 0.0) | (above > 0.0))
+    return tau
+
+
+def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain_fn=None):
+    terrain_fn = terrain_fn or _plane_terrain
+    kin = B.fk(c, s)
+    origin = s.base_pos
+
+    tau_j = pd_torques(c, params, s.joint_pos, s.joint_vel, target_q)
+    tau_j = tau_j + passive_torques(c, s.joint_pos, s.joint_vel)
+    tau_b = jnp.zeros_like(jnp.concatenate([s.base_ang_vel, s.base_lin_vel], axis=0))
+
+    mu = params.foot_friction
+    h, n = terrain_fn(kin.p_foot)
+    f_foot = sphere_ground_force(
+        kin.p_foot, kin.v_foot, c.foot_radius, h, n, params.contact, mu
+    )
+    tb, tj = B.point_forces_to_generalized(kin, origin, kin.p_foot, f_foot, 2)
+    tau_b = tau_b + tb
+    tau_j = tau_j + tj
+
+    hw, nw = terrain_fn(kin.p_wheel)
+    f_wheel = sphere_ground_force(
+        kin.p_wheel, kin.v_wheel, c.wheel_radius, hw, nw, params.contact, mu
+    )
+    tb, tj = B.point_forces_to_generalized(kin, origin, kin.p_wheel, f_wheel, 1)
+    tau_b = tau_b + tb
+    tau_j = tau_j + tj
+
+    ext = jnp.broadcast_to(
+        jnp.reshape(jnp.asarray(params.ext_force, s.base_pos.dtype), (3, 1, 1)),
+        s.base_pos.shape,
+    )
+    tau_b = tau_b.at[3:].add(ext)
+
+    bias_b, bias_j = B.bias_forces(c, kin, s, origin)
+    Mb, F, Ml = B.mass_blocks(c, kin, origin, s.base_pos)
+    a_base, qdd = B.forward_dynamics(Mb, F, Ml, tau_b - bias_b, tau_j - bias_j)
+
+    w = s.base_ang_vel
+    a_lin = a_base[3:] + quat_tl.cross(w, s.base_lin_vel)
+    a_ang = a_base[:3]
+
+    dt = params.dt
+    new_lin = s.base_lin_vel + a_lin * dt
+    new_ang = w + a_ang * dt
+    new_qd = s.joint_vel + qdd * dt
+    return TLState(
+        base_pos=s.base_pos + new_lin * dt,
+        base_orn=quat_tl.integrate(s.base_orn, new_ang, dt),
+        base_lin_vel=new_lin,
+        base_ang_vel=new_ang,
+        joint_pos=s.joint_pos + new_qd * dt,
+        joint_vel=new_qd,
+    )
+
+
+def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain_fn=None):
+    """One 50 Hz control step: `substeps` physics substeps with a held target."""
+
+    def body(carry, _):
+        return substep(c, params, carry, target_q, terrain_fn), None
+
+    s, _ = jax.lax.scan(body, s, None, length=params.substeps)
+    return s
