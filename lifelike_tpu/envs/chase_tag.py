@@ -1,0 +1,331 @@
+"""Chase Tag Game (SEPMC) environment: two-robot self-play, fully on-device.
+
+Functional JAX re-design of the reference ChaseTagGameEnv
+(reference max_game/chase_tag_game_env.py): two MAX robots in the V4 arena
+(scene.arena_gen), 25 Hz control / 500 Hz physics (:23, 20 substeps),
+per-agent observation dict
+  prop, prop_a, percept_2d, percept_1d, percept_front,
+  percept_vec (pos 3 + cos/sin yaw),
+  oppo_info (15 = visible + oppo pos + local pos diff + yaw diff cos/sin +
+             local oppo lin/ang vel, zeroed when not visible) + cheat variant,
+  flag_info (7 = visible + flag pos + local diff) + cheat,
+  with_flag (2), control_spd (1)
+and the game logic: the robot WITHOUT the flag-role grabs the flag to swap
+roles (flag teleports, +-1 reward on the switch frame, :573-581,:640-652);
+body contact between robots ends the game with +-1 for the chaser
+(:412-419); occlusion-aware visibility via segment tests against arena boxes
+plus a FOV cone (:472-493).
+
+Approximations vs Bullet: robot-robot and robot-flag "contact" are distance
+thresholds (no rigid contact response between robots); visibility uses the
+root-to-root segment (the reference falls back to head-to-convex-hull rays
+only when the root ray is blocked).
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lifelike_tpu.costs import tracking
+from lifelike_tpu.envs import randomizer
+from lifelike_tpu.envs.playground import _INIT_JOINTS
+from lifelike_tpu.envs.primitive import ACTION_SIZE, STACK, _proprioception
+from lifelike_tpu.math import quat
+from lifelike_tpu.physics import engine
+from lifelike_tpu.physics.dynamics import RobotState
+from lifelike_tpu.scene import arena_gen, boxes
+
+CATCH_RADIUS = 0.45  # approx body-contact distance (two 0.28 m half-lengths)
+FLAG_RADIUS = 0.3  # flag box 0.1 x 0.1 x 0.5 grab distance
+
+
+class ChaseTagConfig(NamedTuple):
+    params: engine.PhysicsParams = engine.PhysicsParams(
+        kd=1.0, max_tau=16.0, substeps=20  # 25 Hz control (reference :23)
+    )
+    arena: arena_gen.ArenaConfig = arena_gen.ArenaConfig()
+    push: randomizer.PushConfig = randomizer.PushConfig()
+    max_steps: int = 1000
+    friction_range: tuple = (0.4, 1.0)
+    visible_angle: float = jnp.pi  # FOV half-angle (reference :31)
+    control_spd_range: tuple = (0.5, 3.0)  # episodic_fix_spd (:262)
+
+    @property
+    def policy_dt(self):
+        return self.params.dt * self.params.substeps
+
+
+class ChaseTagState(NamedTuple):
+    robots: RobotState  # leaves (..., 2, k) — agent axis after batch
+    scene: boxes.BoxScene
+    push: randomizer.PushState
+    counter: jnp.ndarray  # (...,)
+    with_flag: jnp.ndarray  # (..., 2) bool: True = chaser role
+    flag_pos: jnp.ndarray  # (..., 3)
+    control_spd: jnp.ndarray  # (...,)
+    friction: jnp.ndarray  # (...,)
+    total_spd: jnp.ndarray  # (..., 2)
+    max_spd: jnp.ndarray  # (..., 2)
+    prop_hist: jnp.ndarray  # (..., 2, STACK, 33)
+    act_hist: jnp.ndarray  # (..., 2, STACK, 12)
+
+
+class ChaseTagObs(NamedTuple):
+    """All leaves have an agent axis 2 after the batch axes."""
+
+    prop: jnp.ndarray
+    prop_a: jnp.ndarray
+    percept_2d: jnp.ndarray
+    percept_1d: jnp.ndarray
+    percept_front: jnp.ndarray
+    percept_vec: jnp.ndarray  # (..., 2, 5)
+    oppo_info: jnp.ndarray  # (..., 2, 15)
+    oppo_info_cheat: jnp.ndarray
+    flag_info: jnp.ndarray  # (..., 2, 7)
+    flag_info_cheat: jnp.ndarray
+    with_flag: jnp.ndarray  # (..., 2, 2)
+    control_spd: jnp.ndarray  # (..., 2, 1)
+
+
+def _segment_visible(scene, p_from, p_to):
+    """True when no active box blocks the segment."""
+    d = p_to - p_from
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
+    t = boxes.ray_box_distance(
+        scene, p_from[..., None, :], (d / dist)[..., None, :], jnp.inf
+    )[..., 0]
+    return t >= dist[..., 0]
+
+
+def _observe(cfg: ChaseTagConfig, s: ChaseTagState) -> ChaseTagObs:
+    r = s.robots
+    pos = r.base_pos  # (..., 2, 3)
+    orn = r.base_orn
+    yaw = quat.yaw(orn)
+
+    # scene queries per agent: scene leaves must broadcast over the agent axis
+    scene_a = boxes.BoxScene(
+        center=s.scene.center[..., None, :, :],
+        half=s.scene.half[..., None, :, :],
+        active=s.scene.active[..., None, :],
+        target_pos=s.scene.target_pos[..., None, :],
+    )
+    p2d = boxes.perception_height(scene_a, pos, orn)
+    p1d = boxes.lidar(scene_a, pos, yaw)
+    pfront = boxes.perception_front(scene_a, pos, orn)
+    pvec = jnp.concatenate(
+        [pos, jnp.cos(yaw)[..., None], jnp.sin(yaw)[..., None]], axis=-1
+    )
+
+    # opponent info
+    oppo_pos = jnp.flip(pos, axis=-2)
+    oppo_yaw = jnp.flip(yaw, axis=-1)
+    oppo_lin = jnp.flip(r.base_lin_vel, axis=-2)
+    oppo_ang = jnp.flip(r.base_ang_vel, axis=-2)
+    diff = oppo_pos - pos
+    seg_vis = _segment_visible(scene_a, pos, oppo_pos)
+    dxy = diff[..., :2]
+    cos_theta = (
+        jnp.cos(yaw) * dxy[..., 0] + jnp.sin(yaw) * dxy[..., 1]
+    ) / jnp.linalg.norm(dxy, axis=-1).clip(1e-8)
+    visible = seg_vis & (cos_theta >= jnp.cos(cfg.visible_angle))
+    diff_local = quat.rotate_inv(orn, diff)
+    yaw_diff = oppo_yaw - yaw
+    oppo_state = jnp.concatenate(
+        [
+            visible[..., None].astype(pos.dtype),
+            oppo_pos,
+            diff_local,
+            jnp.cos(yaw_diff)[..., None],
+            jnp.sin(yaw_diff)[..., None],
+            quat.rotate_inv(orn, oppo_lin),
+            quat.rotate_inv(orn, oppo_ang),
+        ],
+        axis=-1,
+    )
+    oppo_info = jnp.where(visible[..., None], oppo_state, 0.0)
+
+    # flag info (always visible, reference :560)
+    flag = s.flag_pos[..., None, :]
+    flag_diff_local = quat.rotate_inv(orn, flag - pos)
+    ones = jnp.ones_like(yaw[..., None])
+    flag_state = jnp.concatenate(
+        [ones, jnp.broadcast_to(flag, pos.shape), flag_diff_local], axis=-1
+    )
+
+    wf = s.with_flag.astype(pos.dtype)
+    with_flag = jnp.stack([wf, jnp.flip(wf, axis=-1)], axis=-2)
+    return ChaseTagObs(
+        prop=s.prop_hist.reshape(s.prop_hist.shape[:-2] + (-1,)),
+        prop_a=s.act_hist.reshape(s.act_hist.shape[:-2] + (-1,)),
+        percept_2d=p2d,
+        percept_1d=p1d,
+        percept_front=pfront,
+        percept_vec=pvec,
+        oppo_info=oppo_info,
+        oppo_info_cheat=oppo_state,
+        flag_info=flag_state,
+        flag_info_cheat=flag_state,
+        with_flag=with_flag,
+        control_spd=jnp.broadcast_to(
+            s.control_spd[..., None, None], yaw.shape + (1,)
+        ),
+    )
+
+
+def reset(model, cfg: ChaseTagConfig, key, batch=()):
+    import math
+
+    ks = jax.random.split(key, 8)
+    if batch == ():
+        scene = arena_gen.generate(ks[0], cfg.arena)
+    else:
+        scene = jax.vmap(lambda k: arena_gen.generate(k, cfg.arena))(
+            jax.random.split(ks[0], math.prod(batch))
+        )
+        scene = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), scene)
+
+    pos_xy = jax.random.uniform(ks[1], batch + (2, 2), minval=-2.0, maxval=2.0)
+    pos = jnp.concatenate(
+        [pos_xy, jnp.full(batch + (2, 1), 0.5)], axis=-1
+    )
+    yaw0 = jax.random.uniform(ks[2], batch + (2,), maxval=2.0 * jnp.pi)
+    robots = RobotState(
+        base_pos=pos,
+        base_orn=quat.from_yaw(yaw0),
+        base_lin_vel=jnp.zeros(batch + (2, 3)),
+        base_ang_vel=jnp.zeros(batch + (2, 3)),
+        joint_pos=jnp.broadcast_to(_INIT_JOINTS, batch + (2, 12)),
+        joint_vel=jnp.zeros(batch + (2, 12)),
+    )
+    flag_xy = jax.random.uniform(ks[3], batch + (2,), minval=-2.0, maxval=2.0)
+    flag_pos = jnp.concatenate([flag_xy, jnp.full(batch + (1,), 0.25)], axis=-1)
+    chaser0 = jax.random.bernoulli(ks[4], shape=batch)
+    with_flag = jnp.stack([chaser0, ~chaser0], axis=-1)
+    prop = _proprioception(robots)
+    s = ChaseTagState(
+        robots=robots,
+        scene=scene,
+        push=randomizer.push_reset(ks[5], cfg.push, cfg.policy_dt, batch),
+        counter=jnp.zeros(batch, jnp.int32),
+        with_flag=with_flag,
+        flag_pos=flag_pos,
+        control_spd=jax.random.uniform(
+            ks[6], batch, minval=cfg.control_spd_range[0], maxval=cfg.control_spd_range[1]
+        ),
+        friction=jax.random.uniform(
+            ks[7], batch, minval=cfg.friction_range[0], maxval=cfg.friction_range[1]
+        ),
+        total_spd=jnp.zeros(batch + (2,)),
+        max_spd=jnp.zeros(batch + (2,)),
+        prop_hist=jnp.repeat(prop[..., None, :], STACK, axis=-2),
+        act_hist=jnp.zeros(batch + (2, STACK, ACTION_SIZE), prop.dtype),
+    )
+    return s, _observe(cfg, s)
+
+
+def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
+    """actions: dict with 'A_LLC' (..., 2, 12) (A_HLC/A_Z consumed upstream).
+
+    Returns (state', obs, rewards (..., 2), done (...,), info).
+    """
+    a_llc = actions["A_LLC"] if isinstance(actions, dict) else actions
+    k1, k2 = jax.random.split(key)
+
+    push, ext_force = randomizer.push_step(k1, cfg.push, s.push, cfg.policy_dt)
+    params = cfg.params._replace(
+        foot_friction=s.friction[..., None, None], ext_force=ext_force[..., None, :]
+    )
+    scene_a = boxes.BoxScene(
+        center=s.scene.center[..., None, :, :],
+        half=s.scene.half[..., None, :, :],
+        active=s.scene.active[..., None, :],
+        target_pos=s.scene.target_pos[..., None, :],
+    )
+    target_q = s.robots.joint_pos + a_llc
+    robots = engine.control_step(
+        model, params, s.robots, target_q, boxes.terrain_height_fn(scene_a)
+    )
+
+    counter = s.counter + 1
+    spd = jnp.linalg.norm(robots.base_lin_vel[..., :2], axis=-1)  # (..., 2)
+    total_spd = s.total_spd + spd
+    max_spd = jnp.maximum(s.max_spd, spd)
+
+    # flag grab: the non-chaser touching the flag swaps roles (:573-581)
+    dist_flag = jnp.linalg.norm(
+        (robots.base_pos - s.flag_pos[..., None, :])[..., :2], axis=-1
+    )
+    touch_flag = dist_flag < FLAG_RADIUS
+    escapee_touches = jnp.any(touch_flag & ~s.with_flag, axis=-1)
+    with_flag = jnp.where(escapee_touches[..., None], ~s.with_flag, s.with_flag)
+    new_flag_xy = jax.random.uniform(k2, s.counter.shape + (2,), minval=-2.0, maxval=2.0)
+    new_flag = jnp.concatenate(
+        [new_flag_xy, jnp.full(s.counter.shape + (1,), 0.25)], axis=-1
+    )
+    flag_pos = jnp.where(escapee_touches[..., None], new_flag, s.flag_pos)
+
+    # per-step reward: +-1 on the switch frame for the NEW chaser (:640-652)
+    sw = escapee_touches.astype(spd.dtype)
+    rewards = jnp.where(with_flag, sw[..., None], -sw[..., None])
+
+    # terminations: the reference only checks robot 0's fall (:463)
+    fall0 = tracking.fall_terminated(
+        RobotState(*[getattr(robots, f)[..., 0, :] for f in robots._fields])
+    )
+    timeout = counter >= cfg.max_steps
+    dist_rr = jnp.linalg.norm(
+        (robots.base_pos[..., 0, :2] - robots.base_pos[..., 1, :2]), axis=-1
+    )
+    contact = dist_rr < CATCH_RADIUS
+    done = fall0 | timeout | contact
+
+    # terminal +-1: chaser catches (:412-419)
+    chaser_sign = jnp.where(with_flag, 1.0, -1.0)
+    rewards = rewards + jnp.where(
+        (contact & done)[..., None], chaser_sign, 0.0
+    )
+
+    prop = _proprioception(robots)
+    s = s._replace(
+        robots=robots,
+        push=push,
+        counter=counter,
+        with_flag=with_flag,
+        flag_pos=flag_pos,
+        total_spd=total_spd,
+        max_spd=max_spd,
+        prop_hist=jnp.concatenate(
+            [s.prop_hist[..., 1:, :], prop[..., None, :]], axis=-2
+        ),
+        act_hist=jnp.concatenate(
+            [s.act_hist[..., 1:, :], a_llc[..., None, :]], axis=-2
+        ),
+    )
+    obs = _observe(cfg, s)
+    info = {
+        "avg_spd0": total_spd[..., 0] / counter,
+        "avg_spd1": total_spd[..., 1] / counter,
+        "max_spd0": max_spd[..., 0],
+        "max_spd1": max_spd[..., 1],
+        "caught": contact,
+    }
+    return s, obs, rewards, done, info
+
+
+def step_autoreset(model, cfg, s, actions, key):
+    k1, k2 = jax.random.split(key)
+    s2, obs, rewards, done, info = step(model, cfg, s, actions, k1)
+    s_new, obs_new = reset(model, cfg, k2, s.counter.shape)
+
+    def sel(a, b):
+        d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+        return jnp.where(d, a, b)
+
+    return (
+        jax.tree.map(sel, s_new, s2),
+        jax.tree.map(sel, obs_new, obs),
+        rewards,
+        done,
+        info,
+    )
