@@ -1,0 +1,160 @@
+"""Learner entry point: on-device PPO training for any of the three stages.
+
+CLI parity with reference bin/run_pg_learner.py: absl flags, env/policy
+configs as Python-dict string literals (the reference's read_config_dict
+convention), periodic model publication to the pool and league checkpointing
+— but the actor farm is gone: rollouts happen on-device inside the jitted
+learner step, and data parallelism is the mesh, not Horovod ranks.
+
+Examples (see train_scripts/*.sh):
+  python -m lifelike_tpu.bin.run_learner --task=pmc \
+    --env_config="{'data_path': '/root/reference/data/mocap_data'}" \
+    --num_envs=256 --total_updates=1000
+"""
+import ast
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("task", "pmc", "one of {pmc, epmc}")
+flags.DEFINE_string("env_config", "{}", "env config as a python dict literal")
+flags.DEFINE_string("policy_config", "{}", "net config overrides (dict literal)")
+flags.DEFINE_string("learner_config", "{}", "PPOConfig overrides (dict literal)")
+flags.DEFINE_integer("num_envs", 64, "parallel on-device environments")
+flags.DEFINE_integer("total_updates", 100, "learner iterations")
+flags.DEFINE_integer("pub_interval", 5, "publish model every N updates")
+flags.DEFINE_integer("log_interval", 4, "log metrics every N updates")
+flags.DEFINE_string("model_pool_dir", "", "model pool persistence dir")
+flags.DEFINE_string("checkpoint_dir", "", "league checkpoint dir")
+flags.DEFINE_string("init_model", "", "seed model file (stage hand-off)")
+flags.DEFINE_string("init_model_subtree", "params/llc",
+                    "comma-separated /-paths to load frozen from init_model")
+flags.DEFINE_bool("freeze_init_subtree", True, "freeze loaded subtrees")
+flags.DEFINE_integer("seed", 0, "prng seed")
+flags.DEFINE_bool("cpu", False, "force CPU backend (debug)")
+
+
+def _cfgd(s):
+    return ast.literal_eval(s) if s else {}
+
+
+def main(argv):
+    del argv
+    if FLAGS.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from lifelike_tpu.envs import factory
+    from lifelike_tpu.learning import freeze as freeze_lib
+    from lifelike_tpu.learning import learner, recurrent, registry
+    from lifelike_tpu.learning.learner import PPOConfig
+
+    env_config = _cfgd(FLAGS.env_config)
+    pol_config = _cfgd(FLAGS.policy_config)
+    lrn_config = {
+        k: v for k, v in _cfgd(FLAGS.learner_config).items()
+        if k in PPOConfig._fields
+    }
+    cfg = PPOConfig(**lrn_config)
+    key = jax.random.PRNGKey(FLAGS.seed)
+    B = FLAGS.num_envs
+
+    pool = registry.ModelPool(root=FLAGS.model_pool_dir or None)
+    league = registry.LeagueManager(
+        pool, checkpoint_dir=FLAGS.checkpoint_dir or None
+    )
+    if FLAGS.checkpoint_dir:
+        league.restore()
+
+    if FLAGS.task == "pmc":
+        from lifelike_tpu.models.pmc import PMCConfig, PMCNet
+
+        env_config.setdefault("data_path", "/root/reference/data/mocap_data")
+        bundle = factory.create_tracking_game(**env_config)
+        net = PMCNet(PMCConfig(**{k: v for k, v in pol_config.items()
+                                  if k in PMCConfig._fields}))
+        optimizer = learner.make_optimizer(cfg)
+        env_state, obs = bundle.reset(key, batch=(B,))
+        params = net.init(key, obs.prop, obs.prop_a, obs.future)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def train(params, opt_state, env_state, key):
+            return learner.learner_step(
+                net, bundle.model, bundle.clips, bundle.cfg, cfg, optimizer,
+                params, opt_state, env_state, key,
+            )
+
+        for i in range(FLAGS.total_updates):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            params, opt_state, env_state, metrics = train(
+                params, opt_state, env_state, k
+            )
+            _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+
+    elif FLAGS.task == "epmc":
+        from lifelike_tpu.models.epmc import EPMCConfig, EPMCNet
+
+        bundle = factory.create_playground_game(**env_config)
+        net = EPMCNet(EPMCConfig(**{k: v for k, v in pol_config.items()
+                                    if k in EPMCConfig._fields}))
+        env_state, obs = bundle.reset(key, batch=(B,))
+        hs = net.initial_state((B,))
+        params = net.init({"params": key, "z": key}, obs._asdict(), hs,
+                          jnp.zeros(B))
+        if FLAGS.init_model:
+            donor = pool.load_file("init", FLAGS.init_model)
+            paths = [tuple(p.split("/")) for p in FLAGS.init_model_subtree.split(",")]
+            params = freeze_lib.load_subtree(params, donor, paths)
+            logging.info("loaded frozen subtrees %s from %s", paths, FLAGS.init_model)
+            base_tx = learner.make_optimizer(cfg)
+            optimizer = (
+                freeze_lib.frozen_optimizer(base_tx, params, paths)
+                if FLAGS.freeze_init_subtree else base_tx
+            )
+        else:
+            optimizer = learner.make_optimizer(cfg)
+        opt_state = optimizer.init(params)
+        prev_done = jnp.zeros(B, bool)
+
+        @jax.jit
+        def train(params, opt_state, env_state, obs, hs, prev_done, key):
+            return recurrent.epmc_learner_step(
+                net, bundle, cfg, optimizer,
+                params, opt_state, env_state, obs, hs, prev_done, key,
+            )
+
+        for i in range(FLAGS.total_updates):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            params, opt_state, env_state, obs, hs, prev_done, metrics = train(
+                params, opt_state, env_state, obs, hs, prev_done, k
+            )
+            _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+    else:
+        raise ValueError(f"unknown task {FLAGS.task}")
+
+    if FLAGS.checkpoint_dir:
+        league.checkpoint()
+    logging.info("done: %d updates", FLAGS.total_updates)
+
+
+def _log_publish(i, metrics, t0, cfg, B, params, pool, league):
+    if i % FLAGS.log_interval == 0:
+        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        sps = cfg.unroll_length * B / (time.time() - t0)
+        logging.info("update %d: %s | env steps/s %.0f", i, m, sps)
+    if i % FLAGS.pub_interval == 0:
+        key_name = f"model_{i:07d}"
+        pool.push(key_name, params, meta={"update": i},
+                  persist=bool(FLAGS.model_pool_dir))
+        league.add_to_population(key_name)
+
+
+if __name__ == "__main__":
+    app.run(main)
