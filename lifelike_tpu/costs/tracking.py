@@ -57,9 +57,10 @@ def tracking_reward(
         _SCALE_END_EFFECTOR
         * jnp.sum((foot_pos - ref_foot_pos) ** 2, axis=(-2, -1))
     )
-    angle = jnp.linalg.norm(
-        quat.diff_rotvec(ref.base_orn, state.base_orn), axis=-1
-    )
+    # eps-regularized norm: the plain norm has a NaN gradient/Hessian at
+    # perfect alignment, which breaks the iLQR quadratization
+    rv = quat.diff_rotvec(ref.base_orn, state.base_orn)
+    angle = jnp.sqrt(jnp.sum(rv**2, axis=-1) + 1e-12)
     r_pose = jnp.exp(
         _SCALE_ROOT_POSE[0] * jnp.sum((state.base_pos - ref.base_pos) ** 2, axis=-1)
         + _SCALE_ROOT_POSE[1] * angle**2

@@ -1,0 +1,66 @@
+"""EPMC terrain-traversal cost stack for the MPC solver.
+
+The playground rewards (reference playground_env.py:479-539) negated into
+stage costs, plus SDF-style obstacle clearance penalties so the solver avoids
+box sides that the reference handles through hard contact. Used to run the
+trajectory optimizer on the EPMC task (SURVEY.md section 7 layer 7).
+"""
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from lifelike_tpu.costs import tracking
+from lifelike_tpu.math import quat
+from lifelike_tpu.physics.dynamics import RobotState
+from lifelike_tpu.scene import boxes
+
+
+class TraversalWeights(NamedTuple):
+    velocity: float = 1.0
+    heading: float = 1.0
+    clearance: float = 0.5
+    fall: float = 5.0
+
+
+def joystick_cost(
+    state: RobotState, target_pos, target_spd, weights=TraversalWeights()
+):
+    """1 - reward_vel * reward_rotation (joystick family, :479-502)."""
+    diff = (target_pos - state.base_pos)[..., :2]
+    d = jnp.linalg.norm(diff, axis=-1).clip(1e-8)
+    dir_w = diff / d[..., None]
+    spd = jnp.abs(
+        state.base_lin_vel[..., 0] * dir_w[..., 0]
+        + state.base_lin_vel[..., 1] * dir_w[..., 1]
+    )
+    r_vel = jnp.exp(-jnp.abs(spd - target_spd))
+    yaw = quat.yaw(state.base_orn)
+    r_rot = jnp.exp(
+        (jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1] - 1.0) * 5.0
+    )
+    cost = 1.0 - r_vel * r_rot
+    fall = tracking.fall_terminated(state)
+    return cost + weights.fall * fall.astype(cost.dtype)
+
+
+def progress_cost(state: RobotState, target_pos, last_dist, weights=TraversalWeights()):
+    """Distance-progress cost (average_speed family, :504-539): positive when
+    moving away from the target. Returns (cost, new_dist)."""
+    d = jnp.linalg.norm((target_pos - state.base_pos)[..., :2], axis=-1)
+    cost = d - last_dist
+    fall = tracking.fall_terminated(state)
+    return cost + weights.fall * fall.astype(cost.dtype), d
+
+
+def clearance_cost(scene: boxes.BoxScene, state: RobotState, margin=0.15):
+    """Penalize the base footprint approaching tall boxes (walls, hole bars):
+    soft hinge on the horizontal distance to any box whose height range
+    overlaps the body. Smooth stand-in for the reference's hard collisions."""
+    p = state.base_pos
+    d = jnp.abs(p[..., None, :2] - scene.center[..., :, :2])
+    out = jnp.maximum(d - scene.half[..., :, :2], 0.0)
+    horiz = jnp.linalg.norm(out, axis=-1)
+    tall = (scene.center[..., :, 2] + scene.half[..., :, 2]) > 0.3
+    blocking = tall & scene.active
+    pen = jnp.maximum(margin - horiz, 0.0) * blocking
+    return jnp.sum(pen**2, axis=-1)

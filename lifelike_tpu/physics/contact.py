@@ -45,7 +45,9 @@ def sphere_ground_force(pos, vel, radius, ground_height, ground_normal, params: 
     fn = jnp.maximum(fn, 0.0) * in_contact
 
     vt = vel - vn[..., None] * ground_normal
-    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    # eps inside the sqrt: plain norm has an infinite gradient at zero slip,
+    # which poisons dynamics Jacobians (iLQR linearization) for resting feet
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
     # Effective viscosity min(mu*fn/sqrt(vt^2+vs^2), cap): Coulomb outside the
     # regularization region, capped viscous inside it for explicit stability.
     coef = jnp.minimum(

@@ -37,7 +37,7 @@ def sphere_ground_force(pos, vel, radius, h, n, cp: ContactParams, mu):
     fn = cp.kn * pen + cp.dn * jnp.maximum(-vn, 0.0) * in_contact
     fn = jnp.maximum(fn, 0.0) * in_contact
     vt = vel - vn[:, None] * n
-    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1))
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=1) + 1e-12)
     coef = jnp.minimum(
         mu * fn / jnp.sqrt(vt_norm**2 + cp.v_slip**2), cp.fric_visc_cap
     )

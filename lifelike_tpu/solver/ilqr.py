@@ -1,0 +1,178 @@
+"""iLQR refinement: gradient-based polish of MPPI solutions.
+
+Layer 8b of the hybrid trajectory optimizer (SURVEY.md section 7): after the
+sampling layer finds a good basin, iterative LQR refines the control sequence
+with dynamics linearizations (jax.jacfwd through the differentiable physics
+step) and a Riccati backward sweep — the block-banded structure of the
+horizon KKT system solved by backward/forward recursion rather than a dense
+factorization.
+
+State is flattened to 37 dims [pos 3, quat 4, lin vel 3, ang vel 3, q 12,
+qd 12]; the quaternion stays on its chart (normalized inside the step), and
+Levenberg-Marquardt regularization absorbs the unit-norm null direction.
+The forward pass always rolls the TRUE nonlinear dynamics with a line search,
+so the result is feasible by construction.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lifelike_tpu.costs import tracking
+from lifelike_tpu.motion import motion_lib
+from lifelike_tpu.physics import dynamics, engine
+from lifelike_tpu.physics.dynamics import RobotState
+from lifelike_tpu.solver.rollout import ref_foot_positions
+
+STATE_DIM = 37
+ACT_DIM = 12
+
+
+class ILQRConfig(NamedTuple):
+    iterations: int = 3
+    reg: float = 1e-3  # Levenberg-Marquardt regularization
+    u_reg: float = 1e-3  # control effort weight
+    line_search: tuple = (1.0, 0.5, 0.25, 0.1)
+
+
+def flatten_state(s: RobotState):
+    return jnp.concatenate(
+        [s.base_pos, s.base_orn, s.base_lin_vel, s.base_ang_vel,
+         s.joint_pos, s.joint_vel], axis=-1
+    )
+
+
+def unflatten_state(x):
+    from lifelike_tpu.math import quat as quat_mod
+
+    return RobotState(
+        base_pos=x[..., 0:3],
+        base_orn=quat_mod.normalize(x[..., 3:7]),
+        base_lin_vel=x[..., 7:10],
+        base_ang_vel=x[..., 10:13],
+        joint_pos=x[..., 13:25],
+        joint_vel=x[..., 25:37],
+    )
+
+
+def make_problem(model, params: engine.PhysicsParams, clips, clip_idx, t0,
+                 weights=tracking.TrackingWeights(), u_reg=1e-3):
+    """Returns (step_fn(x, u, t) -> x', cost_fn(x, u, t) -> scalar) on
+    flattened states; u are deltas on the reference joint targets."""
+    policy_dt = params.dt * params.substeps
+
+    def step_fn(x, u, t):
+        s = unflatten_state(x)
+        ref = motion_lib.sample_frame(clips, clip_idx, t0 + t * policy_dt)
+        s2 = engine.control_step(model, params, s, ref.joint_pos + u)
+        return flatten_state(s2)
+
+    def cost_fn(x, u, t):
+        s = unflatten_state(x)
+        t_next = t0 + (t + 1.0) * policy_dt
+        ref = motion_lib.sample_frame(clips, clip_idx, t_next)
+        kin = dynamics.forward_kinematics(model, s)
+        ref_feet = ref_foot_positions(model, ref)
+        c = tracking.tracking_cost(s, kin.p_foot, ref, ref_feet, weights)
+        return c + u_reg * jnp.sum(u**2)
+
+    return step_fn, cost_fn
+
+
+def _rollout(step_fn, cost_fn, x0, us):
+    def body(carry, inp):
+        x, t = carry
+        u = inp
+        c = cost_fn(x, u, t)
+        x2 = step_fn(x, u, t)
+        return (x2, t + 1.0), (x, c)
+
+    (xT, _), (xs, cs) = jax.lax.scan(body, (x0, jnp.asarray(0.0)), us)
+    return xs, xT, jnp.sum(cs)
+
+
+def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
+    """Refine u_init (H, 12). Returns (u_opt, info dict).
+
+    Each iteration: linearize along the trajectory, Riccati backward sweep
+    for feedforward k and feedback K gains, then a line-searched nonlinear
+    forward rollout; the candidate is kept only when the true cost improves.
+    """
+    H = u_init.shape[0]
+
+    fx_fn = jax.jacfwd(step_fn, argnums=0)
+    fu_fn = jax.jacfwd(step_fn, argnums=1)
+    cg_fn = jax.grad(cost_fn, argnums=(0, 1))
+    # Gauss-Newton style quadratic model: full Hessians of the stage cost
+    cxx_fn = jax.hessian(cost_fn, argnums=0)
+    cuu_fn = jax.hessian(cost_fn, argnums=1)
+
+    def one_iteration(carry, _):
+        us, best_cost = carry
+        xs, xT, _ = _rollout(step_fn, cost_fn, x0, us)
+        ts = jnp.arange(H, dtype=x0.dtype)
+
+        A = jax.vmap(fx_fn)(xs, us, ts)  # (H, 37, 37)
+        Bm = jax.vmap(fu_fn)(xs, us, ts)  # (H, 37, 12)
+        cx, cu = jax.vmap(cg_fn)(xs, us, ts)
+        Cxx = jax.vmap(cxx_fn)(xs, us, ts)
+        Cuu = jax.vmap(cuu_fn)(xs, us, ts)
+
+        eye_u = jnp.eye(ACT_DIM, dtype=x0.dtype)
+        eye_x = jnp.eye(STATE_DIM, dtype=x0.dtype)
+
+        def backward(carry, inp):
+            Vx, Vxx = carry
+            At, Bt, cxt, cut, Cxxt, Cuut = inp
+            Qx = cxt + At.T @ Vx
+            Qu = cut + Bt.T @ Vx
+            Qxx = Cxxt + At.T @ Vxx @ At
+            Quu = Cuut + Bt.T @ Vxx @ Bt + cfg.reg * eye_u
+            Qux = Bt.T @ Vxx @ At
+            # symmetrize for stability
+            Quu = 0.5 * (Quu + Quu.T)
+            k = -jnp.linalg.solve(Quu, Qu)
+            K = -jnp.linalg.solve(Quu, Qux)
+            Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx2 = 0.5 * (Vxx2 + Vxx2.T) + cfg.reg * 0.0 * eye_x
+            return (Vx2, Vxx2), (k, K)
+
+        VxT = jnp.zeros(STATE_DIM, x0.dtype)
+        VxxT = jnp.zeros((STATE_DIM, STATE_DIM), x0.dtype)
+        _, (ks, Ks) = jax.lax.scan(
+            backward, (VxT, VxxT), (A, Bm, cx, cu, Cxx, Cuu), reverse=True
+        )
+
+        def try_alpha(alpha):
+            def fwd(carry, inp):
+                x, t = carry
+                u_old, x_old, k, K = inp
+                u = u_old + alpha * k + K @ (x - x_old)
+                x2 = step_fn(x, u, t)
+                return (x2, t + 1.0), u
+
+            (_, _), us_new = jax.lax.scan(
+                fwd, (x0, jnp.asarray(0.0, x0.dtype)), (us, xs, ks, Ks)
+            )
+            _, _, cost_new = _rollout(step_fn, cost_fn, x0, us_new)
+            return us_new, cost_new
+
+        cands = [try_alpha(a) for a in cfg.line_search]
+        costs = jnp.stack([c for _, c in cands])
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)  # NaN-safe
+        best = jnp.argmin(costs)
+        us_best = jnp.stack([u for u, _ in cands])[best]
+        cost_b = costs[best]
+        improved = cost_b < best_cost
+        us_out = jnp.where(improved, us_best, us)
+        new_best = jnp.where(improved, cost_b, best_cost)
+        return (us_out, new_best), new_best
+
+    _, _, cost0 = _rollout(step_fn, cost_fn, x0, u_init)
+    (u_opt, final_cost), hist = jax.lax.scan(
+        one_iteration, (u_init, cost0), None, length=cfg.iterations
+    )
+    return u_opt, {"initial_cost": cost0, "final_cost": final_cost,
+                   "cost_history": hist}
