@@ -152,6 +152,151 @@ def epmc_train_step(
     return params, opt_state, metrics
 
 
+def _agent_obs(obs, i):
+    """Slice agent i out of a ChaseTagObs (leaves (..., 2, k))."""
+    return jax.tree.map(lambda x: x[..., i, :] if x.ndim >= 2 else x, obs)
+
+
+def collect_sepmc_rollout(
+    net, env_bundle, cfg: PPOConfig, params_learner, params_opponent,
+    env_state, obs, hs, prev_done, key,
+):
+    """Self-play collection on the chase-tag env: agent 0 is the learner,
+    agent 1 a frozen opponent (PFSP-sampled params). Only agent 0's
+    transitions are recorded for training; rewards are zero-sum (..., 2).
+
+    hs: (B, 2, hs_len). Returns (env_state', obs', hs', done', roll,
+    learner_return (B,)) where learner_return accumulates agent-0 reward for
+    league win statistics.
+    """
+    hs0 = hs[..., 0, :]
+
+    def agent_forward(params, obs_i, hs_i, mask, k):
+        k1, k2 = jax.random.split(k)
+        flat = {f: getattr(obs_i, f) for f in obs_i._fields}
+        return net.apply(params, flat, hs_i, mask, rngs={"hlc": k1, "z": k2})
+
+    def body(carry, key_t):
+        env_state, obs, hs, prev_done, ret = carry
+        k0, k1, ka, k_env = jax.random.split(key_t, 4)
+        mask = prev_done.astype(hs.dtype)
+        out0 = agent_forward(params_learner, _agent_obs(obs, 0), hs[..., 0, :], mask, k0)
+        out1 = agent_forward(params_opponent, _agent_obs(obs, 1), hs[..., 1, :], mask, k1)
+        a_llc0 = layers.gaussian_sample(ka, out0.mean, out0.logstd)
+        neglogp = (
+            layers.gaussian_neglogp(out0.hlc_mean, out0.hlc_logstd, out0.hlc_angle)
+            + layers.categorical_neglogp(out0.z_logits, out0.z_idx)
+            + layers.gaussian_neglogp(out0.mean, out0.logstd, a_llc0)
+        )
+        a_llc = jnp.stack([a_llc0, out1.mean], axis=-2)  # (..., 2, 12)
+        env_state2, obs2, rewards, done, _ = env_bundle.step_autoreset(
+            env_state, {"A_LLC": a_llc}, k_env
+        )
+        hs_new = jnp.stack([out0.hs, out1.hs], axis=-2)
+        data = dict(
+            obs=_agent_obs(obs, 0),
+            a_hlc=out0.hlc_angle,
+            a_z=out0.z_idx,
+            a_llc=a_llc0,
+            neglogp=neglogp,
+            reward=rewards[..., 0],
+            discount=cfg.gamma * (1.0 - done.astype(rewards.dtype)),
+            mask=mask,
+        )
+        return (env_state2, obs2, hs_new, done, ret + rewards[..., 0]), data
+
+    keys = jax.random.split(key, cfg.unroll_length)
+    (env_state, obs, hs, done, ret), data = jax.lax.scan(
+        body, (env_state, obs, hs, prev_done, jnp.zeros(prev_done.shape)), keys
+    )
+    roll = RecurrentRollout(
+        obs=data["obs"],
+        a_z=data["a_z"],
+        a_llc=data["a_llc"],
+        a_hlc=data["a_hlc"],
+        neglogp=data["neglogp"],
+        reward=data["reward"],
+        discount=data["discount"],
+        mask=data["mask"],
+        hs0=hs0,
+    )
+    return env_state, obs, hs, done, roll, ret
+
+
+def sepmc_loss_fn(net, cfg: PPOConfig, params, roll: RecurrentRollout, axis_name=None):
+    """Replay + TD-lambda PPO for the 3-head SEPMC policy."""
+    T = roll.neglogp.shape[0]
+    hs = roll.hs0
+    neglogps, values, ents, rms_losses = [], [], [], []
+    for t in range(T):
+        obs_t = jax.tree.map(lambda x: x[t], roll.obs)
+        flat = {f: getattr(obs_t, f) for f in obs_t._fields}
+        out = net.apply(
+            params, flat, hs, roll.mask[t],
+            a_hlc=roll.a_hlc[t], a_z=roll.a_z[t],
+        )
+        hs = out.hs
+        nlp = (
+            layers.gaussian_neglogp(out.hlc_mean, out.hlc_logstd, roll.a_hlc[t])
+            + layers.categorical_neglogp(out.z_logits, roll.a_z[t])
+            + layers.gaussian_neglogp(out.mean, out.logstd, roll.a_llc[t])
+        )
+        neglogps.append(nlp)
+        values.append(out.value[..., 0])
+        ents.append(
+            layers.gaussian_entropy(out.hlc_logstd)
+            + layers.categorical_entropy(out.z_logits)
+            + layers.gaussian_entropy(out.logstd)
+        )
+        rms_losses.append(out.rms_loss)
+    neglogp = jnp.stack(neglogps)
+    vpred = jnp.stack(values)
+    entropy = jnp.mean(jnp.stack(ents))
+    rms_loss = jnp.mean(jnp.stack(rms_losses))
+    pg_loss, value_loss, mean_return = ppo.ppo2_loss(
+        neglogp, roll.neglogp, vpred, roll.reward, roll.discount,
+        lam=cfg.lam, clip_range=cfg.clip_range,
+        clip_range_lower=cfg.clip_range_lower, axis_name=axis_name,
+    )
+    loss = (
+        pg_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+        + cfg.rms_loss_coef * rms_loss
+    )
+    metrics = {
+        "pg_loss": pg_loss, "value_loss": value_loss, "entropy": entropy,
+        "return": mean_return, "rms_loss": rms_loss,
+        "reward_mean": jnp.mean(roll.reward),
+    }
+    return loss, metrics
+
+
+def sepmc_learner_step(
+    net, env_bundle, cfg: PPOConfig, optimizer,
+    params, params_opponent, opt_state, env_state, obs, hs, prev_done, key,
+    axis_name=None,
+):
+    """One self-play PPO iteration: collect vs the frozen opponent, update
+    the learner. Returns learner episode return for league statistics."""
+    k1, _ = jax.random.split(key)
+    env_state, obs, hs, done, roll, ret = collect_sepmc_rollout(
+        net, env_bundle, cfg, params, params_opponent,
+        env_state, obs, hs, prev_done, k1,
+    )
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: sepmc_loss_fn(net, cfg, p, roll, axis_name), has_aux=True
+    )(params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+    import optax as _optax
+
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = _optax.apply_updates(params, updates)
+    metrics["loss"] = loss
+    metrics["learner_return"] = jnp.mean(ret)
+    return params, opt_state, env_state, obs, hs, done, metrics
+
+
 def epmc_learner_step(
     net, env_bundle, cfg: PPOConfig, optimizer,
     params, opt_state, env_state, obs, hs, prev_done, key, axis_name=None,

@@ -114,11 +114,19 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain
     )
 
 
-def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain_fn=None):
-    """One 50 Hz control step: `substeps` physics substeps with a held target."""
+def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
+                 terrain_fn=None, unroll=None):
+    """One 50 Hz control step: `substeps` physics substeps with a held target.
+
+    The substep scan is unrolled by default: each substep alone is ~2% of VPU
+    peak because of per-kernel launch overhead; unrolling lets XLA fuse
+    across substeps."""
 
     def body(carry, _):
         return substep(c, params, carry, target_q, terrain_fn), None
 
-    s, _ = jax.lax.scan(body, s, None, length=params.substeps)
+    s, _ = jax.lax.scan(
+        body, s, None, length=params.substeps,
+        unroll=params.substeps if unroll is None else unroll,
+    )
     return s
