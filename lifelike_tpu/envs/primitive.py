@@ -40,6 +40,8 @@ class PrimitiveEnvConfig(NamedTuple):
         # canonical training weights, reference example_pmc_train.sh:78
         joint_pos=0.3, joint_vel=0.05, end_effector=0.1, root_pose=0.5, root_vel=0.05
     )
+    set_obstacle: bool = False  # jump-event obstacles (reference :173-193)
+    obstacle_height: float = 0.2
 
     @property
     def policy_dt(self):
@@ -103,8 +105,11 @@ def reset(model, clips, cfg: PrimitiveEnvConfig, key, clip_probs=None, batch=())
     if clip_probs is None:
         clip_probs = jnp.full((n,), 1.0 / n)
     clip_idx = jax.random.choice(k1, n, shape=batch, p=clip_probs)
-    duration = (clips.lengths[clip_idx] - clips.margin - 1) * clips.frame_step
-    t0 = jax.random.uniform(k2, batch) * duration
+    dtype = clips.frames.dtype
+    duration = (
+        (clips.lengths[clip_idx] - clips.margin - 1).astype(dtype) * clips.frame_step
+    )
+    t0 = jax.random.uniform(k2, batch, dtype=dtype) * duration
     ref = motion_lib.sample_frame(clips, clip_idx, t0)
     robot = _frame_to_robot(ref)
     prop = _proprioception(robot)
@@ -119,8 +124,14 @@ def reset(model, clips, cfg: PrimitiveEnvConfig, key, clip_probs=None, batch=())
     return env, _observe(clips, cfg, env)
 
 
-def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action):
-    """One 50 Hz step. Returns (env', obs, reward, done, info)."""
+def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action,
+         obstacles=None):
+    """One 50 Hz step. Returns (env', obs, reward, done, info).
+
+    obstacles: optional motion_lib.ObstacleEvents — when cfg.set_obstacle, the
+    clip's jump obstacle terminates the episode on contact (reference
+    :337-348 done_collision)."""
+    action = jnp.asarray(action, env.robot.joint_pos.dtype)
     target_q = env.robot.joint_pos + action
     robot = engine.control_step(model, cfg.params, env.robot, target_q)
     t = env.t + cfg.policy_dt
@@ -134,6 +145,13 @@ def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action):
     ended = motion_lib.is_ended(clips, env.clip_idx, t)
     diverged = tracking.divergence_terminated(robot, ref)
     done = fall | ended | diverged
+    if cfg.set_obstacle and obstacles is not None:
+        oxy, oyaw, oactive = motion_lib.current_obstacle(obstacles, env.clip_idx, t)
+        pts = jnp.concatenate([kin.p_foot, robot.base_pos[..., None, :]], axis=-2)
+        collided = motion_lib.obstacle_collision(
+            oxy, oyaw, cfg.obstacle_height, pts
+        ) & oactive
+        done = done | collided
 
     prop = _proprioception(robot)
     env = PrimitiveEnvState(

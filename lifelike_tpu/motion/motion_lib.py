@@ -157,6 +157,92 @@ def is_ended(clips: MotionClips, clip_idx, t):
     return frame_id >= clips.lengths[clip_idx] - clips.margin - 1
 
 
+class ObstacleEvents(NamedTuple):
+    """Jump-event obstacles per clip, padded to K_max events (device arrays).
+
+    Built from utils.obstacle.obstacles_in_frames at load time. xy/yaw give
+    the ground-projected obstacle pose, time the clip time of the jump peak.
+    """
+
+    xy: jnp.ndarray  # (C, K, 2)
+    yaw: jnp.ndarray  # (C, K)
+    time: jnp.ndarray  # (C, K), padded with +inf
+    count: jnp.ndarray  # (C,)
+
+
+def extract_obstacles(frame_arrays, frame_step, k_max=4) -> ObstacleEvents:
+    from lifelike_tpu.utils.obstacle import obstacles_in_frames
+
+    C = len(frame_arrays)
+    xy = np.zeros((C, k_max, 2), np.float32)
+    yaw = np.zeros((C, k_max), np.float32)
+    time = np.full((C, k_max), np.inf, np.float32)
+    count = np.zeros((C,), np.int32)
+    rate = int(round(1.0 / frame_step))
+    for i, f in enumerate(frame_arrays):
+        ev = obstacles_in_frames(np.asarray(f), rate)
+        if ev is None:
+            continue
+        k = min(len(ev["time"]), k_max)
+        xy[i, :k] = ev["pos"][:k, :2]
+        yaw[i, :k] = ev["yaw"][:k]
+        time[i, :k] = ev["time"][:k]
+        count[i] = k
+    return ObstacleEvents(
+        xy=jnp.asarray(xy), yaw=jnp.asarray(yaw),
+        time=jnp.asarray(time), count=jnp.asarray(count),
+    )
+
+
+def current_obstacle(ev: ObstacleEvents, clip_idx, t):
+    """Active obstacle pose at clip time t: the event index advances once t
+    passes event_time + 0.5 s (reference primitive_level_env.py:262-268).
+    Returns (xy (...,2), yaw (...,), active (...,) bool)."""
+    times = ev.time[clip_idx]  # (..., K)
+    idx = jnp.sum(t[..., None] > times + 0.5, axis=-1)
+    idx = jnp.minimum(idx, jnp.maximum(ev.count[clip_idx] - 1, 0))
+    xy = jnp.take_along_axis(ev.xy[clip_idx], idx[..., None, None], axis=-2)[..., 0, :]
+    yaw = jnp.take_along_axis(ev.yaw[clip_idx], idx[..., None], axis=-1)[..., 0]
+    return xy, yaw, ev.count[clip_idx] > 0
+
+
+def obstacle_collision(xy, yaw, height, points):
+    """True when any world point (..., P, 3) is inside the obstacle box
+    (half extents [0.025, 0.5, height] at yaw; reference :182-188)."""
+    d = points[..., :2] - xy[..., None, :]
+    cs, sn = jnp.cos(yaw)[..., None], jnp.sin(yaw)[..., None]
+    local_x = cs * d[..., 0] + sn * d[..., 1]
+    local_y = -sn * d[..., 0] + cs * d[..., 1]
+    inside = (
+        (jnp.abs(local_x) < 0.025)
+        & (jnp.abs(local_y) < 0.5)
+        & (points[..., 2] < 2.0 * height)
+    )
+    return jnp.any(inside, axis=-1)
+
+
+class PrioritizedClipSampler:
+    """Host-side prioritized clip re-sampling: p ~ (1 - avg_reward)^factor
+    (reference primitive_level_env.py:236-240). Feed per-episode average
+    rewards; pass `.probabilities` to envs.primitive.reset."""
+
+    def __init__(self, num_clips, factor=3.0):
+        self.factor = factor
+        self.avg_reward = np.zeros(num_clips)
+        self._p = np.ones(num_clips) / num_clips
+
+    def update(self, clip_idx, episode_avg_reward):
+        idx = np.asarray(clip_idx).reshape(-1)
+        r = np.asarray(episode_avg_reward).reshape(-1)
+        self.avg_reward[idx] = r
+        w = (1.0 - self.avg_reward) ** self.factor
+        self._p = w / w.sum()
+
+    @property
+    def probabilities(self):
+        return jnp.asarray(self._p)
+
+
 def make_synthetic_clip(num_frames=240, frame_step=1.0 / 120.0, seed=0):
     """A smooth synthetic walking-ish clip for tests (no reference data needed)."""
     rng = np.random.default_rng(seed)

@@ -108,6 +108,8 @@ class TLConstants(NamedTuple):
     friction: jnp.ndarray  # (4, 3, 1, 1)
     lower: jnp.ndarray  # (4, 3, 1, 1)
     upper: jnp.ndarray  # (4, 3, 1, 1)
+    link_mass_rc: jnp.ndarray  # (4, 3, 1, 1) reverse-cumulated chain masses
+    total_mass: float
 
 
 def _skew_np(v):
@@ -146,6 +148,8 @@ def tl_constants(model, dtype=jnp.float32) -> TLConstants:
         friction=e2(model.joint_friction),
         lower=e2(model.joint_lower),
         upper=e2(model.joint_upper),
+        link_mass_rc=e2(np.flip(np.cumsum(np.flip(model.link_mass, 1), 1), 1)),
+        total_mass=float(model.total_mass),
     )
     _CONST_CACHE[key] = c
     return c
@@ -332,37 +336,49 @@ def fk(c: TLConstants, s: TLState) -> TLKin:
 # ------------------------------------------------------------ inertias/CRBA
 
 
-def _spatial_inertia(m, d, I_world):
-    """Spatial inertia about the offset origin, tile layout.
-
-    m: scalar or scalar-field-shaped (..., 1, 1) mass broadcastable against
-    (..., Bs, L); d: (..., 3, Bs, L) COM offset; I_world: (..., 3, 3, Bs, L).
-    Returns (..., 6, 6, Bs, L)."""
-    cx = _skew(d)
-    cxT = jnp.swapaxes(cx, -4, -3)
-    # lift scalar-field mass to matrix-field broadcasting (two extra axes
-    # in front of the batch axes)
-    mM = m if jnp.ndim(m) == 0 else m[..., None, None, :, :]
-    I_o = I_world + mM * _mm(cx, cxT)
-    eye = jnp.eye(3, dtype=d.dtype)[:, :, None, None]
-    m_eye = jnp.broadcast_to(mM * eye, cx.shape)
-    top = jnp.concatenate([I_o, mM * cx], axis=-3)
-    bot = jnp.concatenate([mM * cxT, m_eye], axis=-3)
-    return jnp.concatenate([top, bot], axis=-4)
+# Inertias are kept in their 10-parameter form (mass m — static, first
+# moment h = m*c (3), rotational inertia about the origin I_o (3x3)) and
+# applied to 6-vectors directly. Never materializing (..., 6, 6) spatial
+# matrices cuts the HBM traffic of the CRBA/RNEA intermediates by ~4x —
+# the measured bottleneck of the batched solve.
 
 
-def link_inertias(c: TLConstants, kin: TLKin, origin):
-    R = kin.R_link  # (4,3,3,3,Bs,L)
-    com_w = kin.p_joint + _mv(R, c.link_com)  # (4,3links,3,Bs,L)
-    I_world = _mm(_mm(R, c.link_inertia), jnp.swapaxes(R, -4, -3))
+def _inertia_params_links(c: TLConstants, kin: TLKin, origin):
+    """Per-link (h, I_o) about `origin` in world axes.
+
+    h: (4, 3links, 3, Bs, L); I_o: (4, 3links, 3, 3, Bs, L)."""
+    R = kin.R_link
+    com_w = kin.p_joint + _mv(R, c.link_com)
     d = com_w - origin[None, None]
-    return _spatial_inertia(c.link_mass, d, I_world)
+    I_cw = _mm(_mm(R, c.link_inertia), jnp.swapaxes(R, -4, -3))
+    m = c.link_mass[..., None, :, :]  # (4,3,1,1,1) over vector axis
+    h = c.link_mass[..., None, :, :] * d
+    dd = _dot(d, d)[..., None, None, :, :]  # (4,3,1,1,Bs,L)
+    eye = jnp.eye(3, dtype=d.dtype)[:, :, None, None]
+    outer = d[..., :, None, :, :] * d[..., None, :, :, :]
+    I_o = I_cw + c.link_mass[..., None, None, :, :] * (dd * eye - outer)
+    return h, I_o
 
 
-def base_inertia(c: TLConstants, kin: TLKin, origin, base_pos):
+def _inertia_params_base(c: TLConstants, kin: TLKin, origin, base_pos):
     com_w = base_pos + _mv(kin.R_base, c.base_com)
-    I_world = _mm(_mm(kin.R_base, c.base_inertia), jnp.swapaxes(kin.R_base, -4, -3))
-    return _spatial_inertia(c.base_mass, com_w - origin, I_world)
+    d = com_w - origin
+    I_cw = _mm(_mm(kin.R_base, c.base_inertia), jnp.swapaxes(kin.R_base, -4, -3))
+    h = c.base_mass * d
+    dd = _dot(d, d)[..., None, None, :, :]
+    eye = jnp.eye(3, dtype=d.dtype)[:, :, None, None]
+    outer = d[..., :, None, :, :] * d[..., None, :, :, :]
+    I_o = I_cw + c.base_mass * (dd * eye - outer)
+    return h, I_o
+
+
+def _inertia_apply(m, h, I_o, vec6):
+    """[I_o w + h x v ; m v + w x h] for motion vec6 = [w; v]."""
+    w = vec6[..., :3, :, :]
+    v = vec6[..., 3:, :, :]
+    ang = _mv(I_o, w) + _cross(h, v)
+    lin = m * v + _cross(w, h)
+    return jnp.concatenate([ang, lin], axis=-3)
 
 
 def motion_subspaces(kin: TLKin, origin):
@@ -373,18 +389,28 @@ def motion_subspaces(kin: TLKin, origin):
 
 
 def mass_blocks(c: TLConstants, kin: TLKin, origin, base_pos):
-    I_links = link_inertias(c, kin, origin)  # (4,3links,6,6,Bs,L)
+    h_l, Io_l = _inertia_params_links(c, kin, origin)
     S = motion_subspaces(kin, origin)  # (4,3links,6,Bs,L)
-    Ic = _rev_cumsum3(I_links, axis=1)
-    F = _mv(Ic, S)  # (4,3,6,Bs,L)
-    # H[l,i,j] = S_i . Ic_max(i,j) S_j ; build upper triangle with Ic_j.
-    SI = jnp.sum(
-        S[:, :, None, :, None, :, :] * Ic[:, None, :, :, :, :, :], axis=-4
-    )  # (4, i, j, 6, Bs, L) via sum over row index a: S[l,i,a] Ic[l,j,a,b]
-    H = jnp.sum(SI * S[:, None, :, :, :, :], axis=-3)  # (4, i, j, Bs, L)
+    # composite params by reverse cumsum (composite masses are static)
+    h_c = _rev_cumsum3(h_l, axis=1)
+    Io_c = _rev_cumsum3(Io_l, axis=1)
+    m_c = c.link_mass_rc[..., None, :, :]  # (4,3,1,1,1)
+    F = _inertia_apply(m_c, h_c, Io_c, S)  # (4,3,6,Bs,L)
+    # Ml[l,i,j] = S_i . Ic_max(i,j) S_j = S_i . F_j for i <= j (Ic symmetric)
+    H = jnp.sum(S[:, :, None] * F[:, None, :], axis=-3)  # (4,i,j,Bs,L)
     iu = jnp.triu(jnp.ones((3, 3), dtype=bool))[None, :, :, None, None]
     Ml = jnp.where(iu, H, jnp.swapaxes(H, 1, 2))
-    Mb = base_inertia(c, kin, origin, base_pos) + jnp.sum(I_links, axis=(0, 1))
+    # total robot composite -> expand the single 6x6 Mb for the Schur solve
+    h_b, Io_b = _inertia_params_base(c, kin, origin, base_pos)
+    h_tot = h_b + jnp.sum(h_l, axis=(0, 1))
+    Io_tot = Io_b + jnp.sum(Io_l, axis=(0, 1))
+    m_tot = c.total_mass
+    hx = _skew(h_tot)
+    eye = jnp.eye(3, dtype=h_tot.dtype)[:, :, None, None]
+    m_eye = jnp.broadcast_to(m_tot * eye, hx.shape)
+    top = jnp.concatenate([Io_tot, hx], axis=-3)
+    bot = jnp.concatenate([-hx, m_eye], axis=-3)
+    Mb = jnp.concatenate([top, bot], axis=-4)
     return Mb, F, Ml
 
 
@@ -422,13 +448,18 @@ def bias_forces(c: TLConstants, kin: TLKin, s: TLState, origin):
     v_links = jnp.stack(vs, axis=1)  # (4,3,6,Bs,L)
     a_links = jnp.stack(accs, axis=1)
 
-    I_links = link_inertias(c, kin, origin)
-    f_links = _mv(I_links, a_links) + _cross_force(v_links, _mv(I_links, v_links))
+    h_l, Io_l = _inertia_params_links(c, kin, origin)
+    m_l = c.link_mass[..., None, :, :]
+    f_links = _inertia_apply(m_l, h_l, Io_l, a_links) + _cross_force(
+        v_links, _inertia_apply(m_l, h_l, Io_l, v_links)
+    )
     f_acc = _rev_cumsum3(f_links, axis=1)
     tau_joint = _dot(S, f_acc)  # (4,3,Bs,L)
 
-    I_base = base_inertia(c, kin, origin, s.base_pos)
-    f_base = _mv(I_base, a_grav) + _cross_force(v_base, _mv(I_base, v_base))
+    h_b, Io_b = _inertia_params_base(c, kin, origin, s.base_pos)
+    f_base = _inertia_apply(c.base_mass, h_b, Io_b, a_grav) + _cross_force(
+        v_base, _inertia_apply(c.base_mass, h_b, Io_b, v_base)
+    )
     tau_base = f_base + jnp.sum(f_links, axis=(0, 1))
     return tau_base, tau_joint
 

@@ -72,12 +72,13 @@ def _axis_rotation(axis, angle):
 
 
 def forward_kinematics(model, state: RobotState) -> Kinematics:
+    dtype = state.base_pos.dtype
     q = state.joint_pos.reshape(state.joint_pos.shape[:-1] + (4, 3))
     qd = state.joint_vel.reshape(q.shape)
     R_base = quat.to_matrix(state.base_orn)
 
-    offs = jnp.asarray(model.joint_offset)  # (4, 3, 3)
-    axes = jnp.asarray(model.joint_axis)
+    offs = jnp.asarray(model.joint_offset, dtype)  # (4, 3, 3)
+    axes = jnp.asarray(model.joint_axis, dtype)
 
     R_link, p_joint, axis_w = [], [], []
     w_link, v_origin = [], []
@@ -110,13 +111,13 @@ def forward_kinematics(model, state: RobotState) -> Kinematics:
     w_link = jnp.stack(w_link, axis=-2)
     v_origin = jnp.stack(v_origin, axis=-2)
 
-    foot_off = jnp.asarray(model.foot_offset)  # (4, 3)
+    foot_off = jnp.asarray(model.foot_offset, dtype)  # (4, 3)
     R3 = R_link[..., :, 2, :, :]
     p_foot = p_joint[..., :, 2, :] + jnp.einsum("...lij,lj->...li", R3, foot_off)
     v_foot = v_origin[..., :, 2, :] + jnp.cross(
         w_link[..., :, 2, :], p_foot - p_joint[..., :, 2, :]
     )
-    wheel_off = jnp.asarray(model.wheel_offset)
+    wheel_off = jnp.asarray(model.wheel_offset, dtype)
     R2 = R_link[..., :, 1, :, :]
     p_wheel = p_joint[..., :, 1, :] + jnp.einsum("...lij,lj->...li", R2, wheel_off)
 
@@ -139,9 +140,10 @@ def _link_spatial_inertias(model, kin: Kinematics, origin):
     Returns (..., 4, 3, 6, 6). Link inertia data is in the link frame about the
     link COM; rotate to world and shift to the common origin.
     """
-    mass = jnp.asarray(model.link_mass)  # (4, 3)
-    com = jnp.asarray(model.link_com)  # (4, 3, 3)
-    Icom = jnp.asarray(model.link_inertia)  # (4, 3, 3, 3)
+    dtype = origin.dtype
+    mass = jnp.asarray(model.link_mass, dtype)  # (4, 3)
+    com = jnp.asarray(model.link_com, dtype)  # (4, 3, 3)
+    Icom = jnp.asarray(model.link_inertia, dtype)  # (4, 3, 3, 3)
     R = kin.R_link  # (..., 4, 3, 3, 3)
     com_w = kin.p_joint + jnp.einsum("...lkij,lkj->...lki", R, com)
     I_world = R @ Icom @ jnp.swapaxes(R, -1, -2)
@@ -151,10 +153,15 @@ def _link_spatial_inertias(model, kin: Kinematics, origin):
 
 
 def _base_spatial_inertia(model, kin: Kinematics, origin, base_pos):
+    dtype = origin.dtype
     com_w = base_pos + jnp.einsum(
-        "...ij,j->...i", kin.R_base, jnp.asarray(model.base_com)
+        "...ij,j->...i", kin.R_base, jnp.asarray(model.base_com, dtype)
     )
-    I_world = kin.R_base @ jnp.asarray(model.base_inertia) @ jnp.swapaxes(kin.R_base, -1, -2)
+    I_world = (
+        kin.R_base
+        @ jnp.asarray(model.base_inertia, dtype)
+        @ jnp.swapaxes(kin.R_base, -1, -2)
+    )
     d = com_w - origin
     return spatial_inertia(model.base_mass, d, I_world)
 

@@ -49,14 +49,15 @@ def pd_torques(model, params: PhysicsParams, joint_pos, joint_vel, target_q):
 
 
 def passive_torques(model, joint_pos, joint_vel):
-    damping = jnp.asarray(model.joint_damping).reshape(-1)
-    friction = jnp.asarray(model.joint_friction).reshape(-1)
+    dtype = joint_pos.dtype
+    damping = jnp.asarray(model.joint_damping, dtype).reshape(-1)
+    friction = jnp.asarray(model.joint_friction, dtype).reshape(-1)
     # Coulomb friction smoothed over 0.5 rad/s: effective viscosity near zero
     # is friction/0.5 = 1 N m s/rad, inside the explicit stability budget for
     # ~3e-3 kg m^2 distal joint inertia at dt=2 ms.
     tau = -damping * joint_vel - friction * jnp.tanh(joint_vel / 0.5)
-    lower = jnp.asarray(model.joint_lower_flat)
-    upper = jnp.asarray(model.joint_upper_flat)
+    lower = jnp.asarray(model.joint_lower_flat, dtype)
+    upper = jnp.asarray(model.joint_upper_flat, dtype)
     below = jnp.minimum(joint_pos - lower, 0.0)
     above = jnp.maximum(joint_pos - upper, 0.0)
     tau = tau - _LIMIT_K * (below + above)
@@ -108,7 +109,9 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
 
     # External disturbance force on the base (PushRandomizer parity,
     # reference push_randomizer.py:56-99): world-frame force at base origin.
-    ext = jnp.broadcast_to(params.ext_force, state.base_pos.shape)
+    ext = jnp.broadcast_to(
+        jnp.asarray(params.ext_force, state.base_pos.dtype), state.base_pos.shape
+    )
     tau_b = tau_b + jnp.concatenate([jnp.zeros_like(ext), ext], axis=-1)
 
     # Subtract bias (C v + g), solve structured system.
