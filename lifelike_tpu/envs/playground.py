@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lifelike_tpu.costs import tracking
 from lifelike_tpu.envs import randomizer
@@ -80,7 +81,7 @@ class PlaygroundObs(NamedTuple):
     target: jnp.ndarray  # (..., 3)
 
 
-_INIT_JOINTS = jnp.asarray(
+_INIT_JOINTS = np.asarray(  # numpy: module-level device arrays poison dispatch
     # STATES_INFO_12_RUN_0 joints (reference constants.py:108-111)
     [-0.0278, -0.7790, 1.6873, -0.0276, -0.7777, 1.6838,
      -0.0278, -0.7334, 1.5669, -0.0276, -0.7319, 1.5632]

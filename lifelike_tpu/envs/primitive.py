@@ -107,7 +107,8 @@ def reset(model, clips, cfg: PrimitiveEnvConfig, key, clip_probs=None, batch=())
     clip_idx = jax.random.choice(k1, n, shape=batch, p=clip_probs)
     dtype = clips.frames.dtype
     duration = (
-        (clips.lengths[clip_idx] - clips.margin - 1).astype(dtype) * clips.frame_step
+        (jnp.asarray(clips.lengths)[clip_idx] - clips.margin - 1).astype(dtype)
+        * clips.frame_step
     )
     t0 = jax.random.uniform(k2, batch, dtype=dtype) * duration
     ref = motion_lib.sample_frame(clips, clip_idx, t0)

@@ -84,9 +84,13 @@ def pack_clips(frame_arrays, frame_step, policy_step=1.0 / 50.0) -> MotionClips:
         packed[i, len(f):] = f[-1]  # pad with last frame (never sampled)
     frame_rate = int(round(1.0 / frame_step))
     margin = int(np.ceil(policy_step / frame_step)) + frame_rate + 2
+    # numpy on purpose: clip libraries are closed over by jitted controllers
+    # and learners; closed-over *device* arrays put every later dispatch in
+    # the process on a slow captured-buffer path (see batched.tl_constants).
+    # As numpy they embed as executable literals instead.
     return MotionClips(
-        frames=jnp.asarray(packed),
-        lengths=jnp.asarray(lengths),
+        frames=np.ascontiguousarray(packed),
+        lengths=np.ascontiguousarray(lengths),
         frame_step=frame_step,
         margin=margin,
     )
@@ -95,12 +99,14 @@ def pack_clips(frame_arrays, frame_step, policy_step=1.0 / 50.0) -> MotionClips:
 def _interp(clips: MotionClips, clip_idx, t):
     """Interpolate clip `clip_idx` at time `t` (both broadcastable arrays)."""
     fs = clips.frame_step
+    frames = jnp.asarray(clips.frames)  # host literals -> on-device constants
+    lengths = jnp.asarray(clips.lengths)
     frame_id = jnp.floor(t / fs).astype(jnp.int32)
     frac = (t - frame_id * fs) / fs
-    max_id = clips.lengths[clip_idx] - 2
+    max_id = lengths[clip_idx] - 2
     frame_id = jnp.clip(frame_id, 0, max_id)
-    fc = clips.frames[clip_idx, frame_id]  # (..., 19)
-    fn = clips.frames[clip_idx, frame_id + 1]
+    fc = frames[clip_idx, frame_id]  # (..., 19)
+    fn = frames[clip_idx, frame_id + 1]
     return fc, fn, frac[..., None]
 
 
@@ -154,7 +160,7 @@ def future_goal_features(base_pos, base_orn, future: FrameState):
 def is_ended(clips: MotionClips, clip_idx, t):
     """End-of-clip check (reference motion_lib.py:168-172)."""
     frame_id = jnp.floor(t / clips.frame_step).astype(jnp.int32)
-    return frame_id >= clips.lengths[clip_idx] - clips.margin - 1
+    return frame_id >= jnp.asarray(clips.lengths)[clip_idx] - clips.margin - 1
 
 
 class ObstacleEvents(NamedTuple):
@@ -188,22 +194,25 @@ def extract_obstacles(frame_arrays, frame_step, k_max=4) -> ObstacleEvents:
         yaw[i, :k] = ev["yaw"][:k]
         time[i, :k] = ev["time"][:k]
         count[i] = k
-    return ObstacleEvents(
-        xy=jnp.asarray(xy), yaw=jnp.asarray(yaw),
-        time=jnp.asarray(time), count=jnp.asarray(count),
-    )
+    # numpy on purpose (closed over by jitted env steps; see pack_clips)
+    return ObstacleEvents(xy=xy, yaw=yaw, time=time, count=count)
 
 
 def current_obstacle(ev: ObstacleEvents, clip_idx, t):
     """Active obstacle pose at clip time t: the event index advances once t
     passes event_time + 0.5 s (reference primitive_level_env.py:262-268).
     Returns (xy (...,2), yaw (...,), active (...,) bool)."""
-    times = ev.time[clip_idx]  # (..., K)
+    ev_time, ev_count = jnp.asarray(ev.time), jnp.asarray(ev.count)
+    times = ev_time[clip_idx]  # (..., K)
     idx = jnp.sum(t[..., None] > times + 0.5, axis=-1)
-    idx = jnp.minimum(idx, jnp.maximum(ev.count[clip_idx] - 1, 0))
-    xy = jnp.take_along_axis(ev.xy[clip_idx], idx[..., None, None], axis=-2)[..., 0, :]
-    yaw = jnp.take_along_axis(ev.yaw[clip_idx], idx[..., None], axis=-1)[..., 0]
-    return xy, yaw, ev.count[clip_idx] > 0
+    idx = jnp.minimum(idx, jnp.maximum(ev_count[clip_idx] - 1, 0))
+    xy = jnp.take_along_axis(
+        jnp.asarray(ev.xy)[clip_idx], idx[..., None, None], axis=-2
+    )[..., 0, :]
+    yaw = jnp.take_along_axis(jnp.asarray(ev.yaw)[clip_idx], idx[..., None], axis=-1)[
+        ..., 0
+    ]
+    return xy, yaw, ev_count[clip_idx] > 0
 
 
 def obstacle_collision(xy, yaw, height, points):

@@ -122,10 +122,17 @@ _CONST_CACHE = {}
 
 
 def tl_constants(model, dtype=jnp.float32) -> TLConstants:
+    """Constants as HOST numpy arrays, deliberately.
+
+    These are closed over by jitted hot-path functions; numpy closures embed
+    as executable literals. Closing over *device* arrays instead puts every
+    subsequent dispatch in this process on a slow captured-buffer path
+    (~24 ms/call measured on the axon relay) — do not convert these to jnp.
+    """
     key = (id(model), dtype)
     if key in _CONST_CACHE:
         return _CONST_CACHE[key]
-    e2 = lambda a: jnp.asarray(a, dtype)[..., None, None]
+    e2 = lambda a: np.asarray(a, np.dtype(dtype))[..., None, None]
     K = np.stack(
         [[_skew_np(model.joint_axis[l, j]) for j in range(3)] for l in range(4)]
     )

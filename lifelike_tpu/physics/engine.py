@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lifelike_tpu.math import quat
 from lifelike_tpu.physics import dynamics
@@ -32,7 +33,10 @@ class PhysicsParams(NamedTuple):
     foot_friction: jnp.ndarray = 0.5
     dt: float = 1.0 / 500.0
     substeps: int = 10
-    ext_force: jnp.ndarray = jnp.zeros(3)  # PushRandomizer-style base force
+    # numpy on purpose: PhysicsParams is closed over by jitted code, and
+    # closed-over *device* arrays force a slow dispatch path (see
+    # batched.tl_constants docstring).
+    ext_force: jnp.ndarray = np.zeros(3, np.float32)  # PushRandomizer base force
     contact: ContactParams = ContactParams()
 
 
