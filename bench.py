@@ -33,6 +33,10 @@ def main():
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 10))
     reps = int(os.environ.get("BENCH_REPS", 5))
     m_hi = int(os.environ.get("BENCH_M", 8))
+    # MPPI-sampling physics config: refactor mass/Schur once per control
+    # step (fidelity vs exact: <=1e-2 rad transient, ~1e-4 rad settled over
+    # 1 s — see tests/test_batched_layout.py). BENCH_MASS_FREEZE=1 for exact.
+    mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
 
     from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
@@ -46,7 +50,7 @@ def main():
         [motion_lib.make_synthetic_clip(int(120 * (horizon / 50.0 + 3)))],
         frame_step=1.0 / 120.0,
     )
-    params = engine.PhysicsParams(substeps=substeps)
+    params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
     cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
     c = B.tl_constants(model, dtype=jnp.float32)
 

@@ -231,10 +231,11 @@ def inv3_sym(A, reg=1e-9):
     return jnp.stack([r0, r1, r2], axis=-4) * inv_det[..., None, None, :, :]
 
 
-def solve_spd6(A, b, reg=1e-9):
-    """Unrolled Cholesky solve for SPD 6x6 systems, elementwise over batch.
+def chol6(A, reg=1e-9):
+    """Unrolled Cholesky factorization of SPD 6x6 blocks over batch.
 
-    A: (6, 6, Bs, L), b: (6, Bs, L) -> x: (6, Bs, L)."""
+    A: (6, 6, Bs, L) -> packed lower factor as a (21, Bs, L) stack in
+    row-major lower-triangle order (L00, L10, L11, L20, ...)."""
     n = 6
     L = [[None] * n for _ in range(n)]
     for j in range(n):
@@ -249,14 +250,24 @@ def solve_spd6(A, b, reg=1e-9):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_Ljj
-    # forward substitution L y = b
+    return jnp.stack([L[i][k] for i in range(n) for k in range(i + 1)])
+
+
+def chol6_solve(Lp, b):
+    """Solve L L^T x = b given the packed factor from chol6. b: (6, Bs, L)."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    idx = 0
+    for i in range(n):
+        for k in range(i + 1):
+            L[i][k] = Lp[idx]
+            idx += 1
     y = [None] * n
     for i in range(n):
         s = b[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
-    # back substitution L^T x = y
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
@@ -264,6 +275,13 @@ def solve_spd6(A, b, reg=1e-9):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x)
+
+
+def solve_spd6(A, b, reg=1e-9):
+    """Unrolled Cholesky solve for SPD 6x6 systems, elementwise over batch.
+
+    A: (6, 6, Bs, L), b: (6, Bs, L) -> x: (6, Bs, L)."""
+    return chol6_solve(chol6(A, reg), b)
 
 
 # ---------------------------------------------------------------- kinematics
@@ -350,6 +368,50 @@ def fk(c: TLConstants, s: TLState) -> TLKin:
 # the measured bottleneck of the batched solve.
 
 
+def _sym_from_upper(u00, u01, u02, u11, u12, u22):
+    """Assemble a symmetric (..., 3, 3, Bs, L) matrix from 6 upper comps."""
+    r0 = jnp.stack([u00, u01, u02], axis=-3)
+    r1 = jnp.stack([u01, u11, u12], axis=-3)
+    r2 = jnp.stack([u02, u12, u22], axis=-3)
+    return jnp.stack([r0, r1, r2], axis=-4)
+
+
+def _rotate_sym(R, I):
+    """R @ I @ R^T for symmetric I, computing only the 6 unique entries.
+
+    R: (..., 3, 3, Bs, L); I broadcastable likewise. Saves the lower
+    triangle of the second product (9 -> 6 dot products)."""
+    A = _mm(R, I)  # (..., 3, 3, Bs, L)
+
+    def row(i):
+        return A[..., i, :, :, :]  # (..., 3, Bs, L)
+
+    def rrow(i):
+        return R[..., i, :, :, :]
+
+    u00 = _dot(row(0), rrow(0))
+    u01 = _dot(row(0), rrow(1))
+    u02 = _dot(row(0), rrow(2))
+    u11 = _dot(row(1), rrow(1))
+    u12 = _dot(row(1), rrow(2))
+    u22 = _dot(row(2), rrow(2))
+    return _sym_from_upper(u00, u01, u02, u11, u12, u22)
+
+
+def _shift_sym(m, d):
+    """Parallel-axis term m*(d.d*eye - d d^T) built directly from 6 comps."""
+    d0, d1, d2 = d[..., 0, :, :], d[..., 1, :, :], d[..., 2, :, :]
+    dd = d0 * d0 + d1 * d1 + d2 * d2
+    return _sym_from_upper(
+        m * (dd - d0 * d0),
+        -m * (d0 * d1),
+        -m * (d0 * d2),
+        m * (dd - d1 * d1),
+        -m * (d1 * d2),
+        m * (dd - d2 * d2),
+    )
+
+
 def _inertia_params_links(c: TLConstants, kin: TLKin, origin):
     """Per-link (h, I_o) about `origin` in world axes.
 
@@ -357,25 +419,18 @@ def _inertia_params_links(c: TLConstants, kin: TLKin, origin):
     R = kin.R_link
     com_w = kin.p_joint + _mv(R, c.link_com)
     d = com_w - origin[None, None]
-    I_cw = _mm(_mm(R, c.link_inertia), jnp.swapaxes(R, -4, -3))
-    m = c.link_mass[..., None, :, :]  # (4,3,1,1,1) over vector axis
+    I_cw = _rotate_sym(R, c.link_inertia)
     h = c.link_mass[..., None, :, :] * d
-    dd = _dot(d, d)[..., None, None, :, :]  # (4,3,1,1,Bs,L)
-    eye = jnp.eye(3, dtype=d.dtype)[:, :, None, None]
-    outer = d[..., :, None, :, :] * d[..., None, :, :, :]
-    I_o = I_cw + c.link_mass[..., None, None, :, :] * (dd * eye - outer)
+    I_o = I_cw + _shift_sym(c.link_mass, d)
     return h, I_o
 
 
 def _inertia_params_base(c: TLConstants, kin: TLKin, origin, base_pos):
     com_w = base_pos + _mv(kin.R_base, c.base_com)
     d = com_w - origin
-    I_cw = _mm(_mm(kin.R_base, c.base_inertia), jnp.swapaxes(kin.R_base, -4, -3))
+    I_cw = _rotate_sym(kin.R_base, c.base_inertia)
     h = c.base_mass * d
-    dd = _dot(d, d)[..., None, None, :, :]
-    eye = jnp.eye(3, dtype=d.dtype)[:, :, None, None]
-    outer = d[..., :, None, :, :] * d[..., None, :, :, :]
-    I_o = I_cw + c.base_mass * (dd * eye - outer)
+    I_o = I_cw + _shift_sym(c.base_mass, d)
     return h, I_o
 
 
@@ -395,9 +450,27 @@ def motion_subspaces(kin: TLKin, origin):
     return jnp.concatenate([a, _cross(a, r)], axis=-3)
 
 
-def mass_blocks(c: TLConstants, kin: TLKin, origin, base_pos):
+class LegTerms(NamedTuple):
+    """Per-substep shared terms: motion subspaces + link inertia params.
+
+    Consumed by mass_blocks, bias_forces and point_forces_to_generalized —
+    computed ONCE per substep in engine_tl.substep instead of relying on
+    XLA CSE across the three call sites."""
+
+    S: jnp.ndarray  # (4, 3, 6, Bs, L)
+    h_l: jnp.ndarray  # (4, 3, 3, Bs, L)
+    Io_l: jnp.ndarray  # (4, 3, 3, 3, Bs, L)
+
+
+def leg_terms(c: TLConstants, kin: TLKin, origin) -> LegTerms:
     h_l, Io_l = _inertia_params_links(c, kin, origin)
-    S = motion_subspaces(kin, origin)  # (4,3links,6,Bs,L)
+    return LegTerms(S=motion_subspaces(kin, origin), h_l=h_l, Io_l=Io_l)
+
+
+def mass_blocks(c: TLConstants, kin: TLKin, origin, base_pos, terms=None):
+    if terms is None:
+        terms = leg_terms(c, kin, origin)
+    h_l, Io_l, S = terms.h_l, terms.Io_l, terms.S
     # composite params by reverse cumsum (composite masses are static)
     h_c = _rev_cumsum3(h_l, axis=1)
     Io_c = _rev_cumsum3(Io_l, axis=1)
@@ -436,10 +509,14 @@ def _cross_force(v, f):
     return jnp.concatenate([_cross(w, fw) + _cross(vl, fl), _cross(w, fl)], axis=-3)
 
 
-def bias_forces(c: TLConstants, kin: TLKin, s: TLState, origin):
+def bias_forces(c: TLConstants, kin: TLKin, s: TLState, origin, terms=None,
+                v_base=None):
+    if terms is None:
+        terms = leg_terms(c, kin, origin)
     qd = s.joint_vel  # (4,3,Bs,L)
-    S = motion_subspaces(kin, origin)
-    v_base = jnp.concatenate([s.base_ang_vel, s.base_lin_vel], axis=0)  # (6,Bs,L)
+    S = terms.S
+    if v_base is None:
+        v_base = jnp.concatenate([s.base_ang_vel, s.base_lin_vel], axis=0)
     a_grav = jnp.zeros_like(v_base).at[5].set(GRAVITY)
 
     v_parent = jnp.broadcast_to(v_base[None], (4,) + v_base.shape)
@@ -455,7 +532,7 @@ def bias_forces(c: TLConstants, kin: TLKin, s: TLState, origin):
     v_links = jnp.stack(vs, axis=1)  # (4,3,6,Bs,L)
     a_links = jnp.stack(accs, axis=1)
 
-    h_l, Io_l = _inertia_params_links(c, kin, origin)
+    h_l, Io_l = terms.h_l, terms.Io_l
     m_l = c.link_mass[..., None, :, :]
     f_links = _inertia_apply(m_l, h_l, Io_l, a_links) + _cross_force(
         v_links, _inertia_apply(m_l, h_l, Io_l, v_links)
@@ -471,22 +548,33 @@ def bias_forces(c: TLConstants, kin: TLKin, s: TLState, origin):
     return tau_base, tau_joint
 
 
-def point_forces_to_generalized(kin: TLKin, origin, points, forces, link_index):
+def point_forces_to_generalized(kin: TLKin, origin, points, forces, link_index,
+                                S=None):
     """points/forces (4, 3, Bs, L) acting on link `link_index` of each leg."""
     n = _cross(points - origin[None], forces)
     Fsp = jnp.concatenate([n, forces], axis=-3)  # (4,6,Bs,L)
     tau_base = jnp.sum(Fsp, axis=0)
-    S = motion_subspaces(kin, origin)  # (4,3,6,Bs,L)
+    if S is None:
+        S = motion_subspaces(kin, origin)  # (4,3,6,Bs,L)
     tau_joint = _dot(S, Fsp[:, None])  # (4,3,Bs,L)
     mask = (jnp.arange(3) <= link_index).astype(tau_joint.dtype)[None, :, None, None]
     return tau_base, tau_joint * mask
 
 
-def forward_dynamics(Mb, F, Ml, tau_base, tau_joint, reg=1e-9):
-    """Leg-structured Schur solve in tile layout.
+class DynFactors(NamedTuple):
+    """Configuration-dependent pieces of the leg-structured Schur solve.
 
-    Mb (6,6,Bs,L), F (4,3,6,Bs,L), Ml (4,3,3,Bs,L), tau_base (6,Bs,L),
-    tau_joint (4,3,Bs,L) -> a_base (6,Bs,L), qdd (4,3,Bs,L)."""
+    Factoring once and applying per-substep (forward_dynamics_apply) is the
+    frozen-mass fast path: the factor cost (inv3_sym + Schur build + chol6)
+    amortizes over PhysicsParams.mass_freeze substeps."""
+
+    F: jnp.ndarray  # (4, 3, 6, Bs, L)
+    Ml_inv: jnp.ndarray  # (4, 3, 3, Bs, L)
+    FtMinv: jnp.ndarray  # (4, 3, 6, Bs, L)
+    chol: jnp.ndarray  # (21, Bs, L) packed Cholesky of the Schur complement
+
+
+def factor_dynamics(Mb, F, Ml, reg=1e-9) -> DynFactors:
     eye = jnp.eye(3, dtype=Ml.dtype)[None, :, :, None, None] * reg
     Ml_inv = inv3_sym(Ml + eye)  # (4,3,3,Bs,L)
     # FtMinv[l, i, a] = sum_j Ml_inv[l,i,j] F[l,j,a]
@@ -496,8 +584,20 @@ def forward_dynamics(Mb, F, Ml, tau_base, tau_joint, reg=1e-9):
     Schur = Mb - jnp.sum(
         F[:, :, :, None, :, :] * FtMinv[:, :, None, :, :, :], axis=(0, 1)
     )  # (6,6,Bs,L)
-    rhs = tau_base - jnp.sum(FtMinv * tau_joint[..., None, :, :], axis=(0, 1))
-    a_base = solve_spd6(Schur, rhs, reg)
-    resid = tau_joint - jnp.sum(F * a_base[None, None], axis=2)  # (4,3,Bs,L)
-    qdd = jnp.sum(Ml_inv * resid[:, None, :, :, :], axis=2)
+    return DynFactors(F=F, Ml_inv=Ml_inv, FtMinv=FtMinv, chol=chol6(Schur, reg))
+
+
+def forward_dynamics_apply(fac: DynFactors, tau_base, tau_joint):
+    rhs = tau_base - jnp.sum(fac.FtMinv * tau_joint[..., None, :, :], axis=(0, 1))
+    a_base = chol6_solve(fac.chol, rhs)
+    resid = tau_joint - jnp.sum(fac.F * a_base[None, None], axis=2)  # (4,3,Bs,L)
+    qdd = jnp.sum(fac.Ml_inv * resid[:, None, :, :, :], axis=2)
     return a_base, qdd
+
+
+def forward_dynamics(Mb, F, Ml, tau_base, tau_joint, reg=1e-9):
+    """Leg-structured Schur solve in tile layout.
+
+    Mb (6,6,Bs,L), F (4,3,6,Bs,L), Ml (4,3,3,Bs,L), tau_base (6,Bs,L),
+    tau_joint (4,3,Bs,L) -> a_base (6,Bs,L), qdd (4,3,Bs,L)."""
+    return forward_dynamics_apply(factor_dynamics(Mb, F, Ml, reg), tau_base, tau_joint)

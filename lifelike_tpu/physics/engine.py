@@ -38,6 +38,13 @@ class PhysicsParams(NamedTuple):
     # batched.tl_constants docstring).
     ext_force: jnp.ndarray = np.zeros(3, np.float32)  # PushRandomizer base force
     contact: ContactParams = ContactParams()
+    # Frozen-mass fast path (tile-layout engine only): refactor the mass
+    # matrix / Schur Cholesky every `mass_freeze` substeps instead of every
+    # substep. 1 = exact (default, matches the oracle engine); `substeps`
+    # = once per 20 ms control step — the MPPI sampling setting, where the
+    # O(1e-3 rad) per-control-step configuration drift makes the stale-mass
+    # error far smaller than the exploration noise.
+    mass_freeze: int = 1
 
 
 _LIMIT_K = 300.0  # joint-limit spring (N m / rad)

@@ -60,10 +60,44 @@ def passive_torques(c: TLConstants, joint_pos, joint_vel):
     return tau
 
 
-def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain_fn=None):
-    terrain_fn = terrain_fn or _plane_terrain
+class Frozen(NamedTuple):
+    """Mass-side quantities factored once per `mass_freeze` substeps.
+
+    All of them are referenced about the world point `origin` (= base
+    position at freeze time); substeps then keep every dynamics quantity
+    referenced there and point-transfer velocities/accelerations."""
+
+    origin: jnp.ndarray  # (3, Bs, L)
+    terms: B.LegTerms
+    fac: B.DynFactors
+
+
+def freeze_mass(c: TLConstants, s: TLState) -> Frozen:
     kin = B.fk(c, s)
     origin = s.base_pos
+    terms = B.leg_terms(c, kin, origin)
+    Mb, F, Ml = B.mass_blocks(c, kin, origin, s.base_pos, terms=terms)
+    return Frozen(origin=origin, terms=terms, fac=B.factor_dynamics(Mb, F, Ml))
+
+
+def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
+            terrain_fn=None, frozen: Frozen = None):
+    """One 500 Hz step. `frozen`: optional freeze_mass output — the
+    mass-matrix/Schur factorization and leg terms are then NOT rebuilt from
+    the current configuration (PhysicsParams.mass_freeze fast path)."""
+    terrain_fn = terrain_fn or _plane_terrain
+    kin = B.fk(c, s)
+    if frozen is None:
+        origin = s.base_pos
+        terms = B.leg_terms(c, kin, origin)  # shared by mass/bias/contact map
+    else:
+        # Frozen inertia distribution AND motion subspaces: stale geometry
+        # is O(q_dot * dt * freeze) ~ 1e-2 rad; fine inside the robot's
+        # envelope (tests/test_batched_layout.py::test_mass_freeze_fidelity)
+        # but NOT for pathological states with deep contact penetration,
+        # where the stiff contact forces amplify it — use mass_freeze=1 there.
+        origin = frozen.origin
+        terms = frozen.terms
 
     tau_j = pd_torques(c, params, s.joint_pos, s.joint_vel, target_q)
     tau_j = tau_j + passive_torques(c, s.joint_pos, s.joint_vel)
@@ -74,7 +108,9 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain
     f_foot = sphere_ground_force(
         kin.p_foot, kin.v_foot, c.foot_radius, h, n, params.contact, mu
     )
-    tb, tj = B.point_forces_to_generalized(kin, origin, kin.p_foot, f_foot, 2)
+    tb, tj = B.point_forces_to_generalized(
+        kin, origin, kin.p_foot, f_foot, 2, S=terms.S
+    )
     tau_b = tau_b + tb
     tau_j = tau_j + tj
 
@@ -82,7 +118,9 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain
     f_wheel = sphere_ground_force(
         kin.p_wheel, kin.v_wheel, c.wheel_radius, hw, nw, params.contact, mu
     )
-    tb, tj = B.point_forces_to_generalized(kin, origin, kin.p_wheel, f_wheel, 1)
+    tb, tj = B.point_forces_to_generalized(
+        kin, origin, kin.p_wheel, f_wheel, 1, S=terms.S
+    )
     tau_b = tau_b + tb
     tau_j = tau_j + tj
 
@@ -92,12 +130,34 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q, terrain
     )
     tau_b = tau_b.at[3:].add(ext)
 
-    bias_b, bias_j = B.bias_forces(c, kin, s, origin)
-    Mb, F, Ml = B.mass_blocks(c, kin, origin, s.base_pos)
-    a_base, qdd = B.forward_dynamics(Mb, F, Ml, tau_b - bias_b, tau_j - bias_j)
-
     w = s.base_ang_vel
-    a_lin = a_base[3:] + quat_tl.cross(w, s.base_lin_vel)
+    if frozen is None:
+        bias_b, bias_j = B.bias_forces(c, kin, s, origin, terms=terms)
+        Mb, F, Ml = B.mass_blocks(c, kin, origin, s.base_pos, terms=terms)
+        a_base, qdd = B.forward_dynamics(
+            Mb, F, Ml, tau_b - bias_b, tau_j - bias_j
+        )
+        a_lin = a_base[3:] + quat_tl.cross(w, s.base_lin_vel)
+    else:
+        # Everything stays referenced at the frozen origin O: the base
+        # spatial velocity there is [w; v + w x (O - p)], and the solved
+        # linear acceleration transfers back with the alpha x (p - O) term
+        # (both vanish when O == p, recovering the exact-path formulas).
+        r = s.base_pos - origin
+        v_at_o = jnp.concatenate(
+            [w, s.base_lin_vel - quat_tl.cross(w, r)], axis=0
+        )
+        bias_b, bias_j = B.bias_forces(
+            c, kin, s, origin, terms=terms, v_base=v_at_o
+        )
+        a_base, qdd = B.forward_dynamics_apply(
+            frozen.fac, tau_b - bias_b, tau_j - bias_j
+        )
+        a_lin = (
+            a_base[3:]
+            + quat_tl.cross(a_base[:3], r)
+            + quat_tl.cross(w, s.base_lin_vel)
+        )
     a_ang = a_base[:3]
 
     dt = params.dt
@@ -121,6 +181,17 @@ def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
     The substep scan is unrolled by default: each substep alone is ~2% of VPU
     peak because of per-kernel launch overhead; unrolling lets XLA fuse
     across substeps."""
+
+    freeze = max(int(params.mass_freeze), 1)
+    if freeze > 1:
+        # Unrolled in Python: refactor the mass matrix every `freeze`
+        # substeps, hold it (and the leg terms / Schur Cholesky) in between.
+        frozen = None
+        for i in range(params.substeps):
+            if i % freeze == 0:
+                frozen = freeze_mass(c, s)
+            s = substep(c, params, s, target_q, terrain_fn, frozen=frozen)
+        return s
 
     def body(carry, _):
         return substep(c, params, carry, target_q, terrain_fn), None

@@ -130,3 +130,39 @@ def test_grad_through_tl_control_step():
 
     g = jax.grad(loss)(jnp.zeros((4, 3, 1, n)))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_mass_freeze_fidelity():
+    """Frozen-mass fast path (PhysicsParams.mass_freeze=substeps) stays
+    within the north-star 1e-2 rad control-fidelity budget of the exact
+    per-substep factorization over 10 control steps (0.2 s) from a realistic
+    in-envelope state (stand pose, walking-speed base motion). It is a
+    sampling-path approximation: pathological states (deep penetration,
+    100s rad/s joint rates) are out of scope — the exact path handles those."""
+    stand = np.asarray([-0.028, -0.779, 1.687] * 4)
+    q0 = np.asarray([0.05, 0.02, 0.1, 0.99])
+    q0 /= np.linalg.norm(q0)
+    s = RobotState(
+        base_pos=jnp.asarray([[0.1, 0.0, 0.33], [0.0, 0.1, 0.30]]),
+        base_orn=jnp.asarray([q0, [0.0, 0.0, 0.0, 1.0]]),
+        base_lin_vel=jnp.asarray([[0.8, 0.1, 0.0], [-0.3, 0.5, 0.1]]),
+        base_ang_vel=jnp.asarray([[0.2, 0.1, 0.3], [0.0, -0.4, 0.2]]),
+        joint_pos=jnp.asarray([stand, stand + 0.1]),
+        joint_vel=jnp.asarray([np.full(12, 0.5), np.full(12, -1.0)]),
+    )
+    tl = B.tl_from_state(s, batch2d=(1, 2))
+    c = B.tl_constants(MODEL, dtype=s.base_pos.dtype)
+    tgt = jnp.moveaxis(jnp.broadcast_to(stand.reshape(1, 4, 3), (2, 4, 3)), 0, -1)[
+        ..., None, :
+    ].astype(s.base_pos.dtype)
+
+    p_exact = engine.PhysicsParams(substeps=5, mass_freeze=1)
+    p_froz = engine.PhysicsParams(substeps=5, mass_freeze=5)
+    f_e = jax.jit(lambda st: engine_tl.control_step(c, p_exact, st, tgt))
+    f_f = jax.jit(lambda st: engine_tl.control_step(c, p_froz, st, tgt))
+    se = sf = tl
+    for _ in range(10):
+        se, sf = f_e(se), f_f(sf)
+    assert float(jnp.max(jnp.abs(se.joint_pos - sf.joint_pos))) < 1e-2
+    assert float(jnp.max(jnp.abs(se.base_pos - sf.base_pos))) < 5e-3
+    assert bool(jnp.all(jnp.isfinite(sf.joint_vel)))
