@@ -37,6 +37,8 @@ def main():
     # step (fidelity vs exact: <=1e-2 rad transient, ~1e-4 rad settled over
     # 1 s — see tests/test_batched_layout.py). BENCH_MASS_FREEZE=1 for exact.
     mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
+    # 1 = single-kernel Pallas rollout (ops.rollout_pallas); 0 = XLA scan.
+    fused = bool(int(os.environ.get("BENCH_FUSED", 1)))
 
     from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
@@ -66,6 +68,11 @@ def main():
     tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
     policy_dt = params.dt * params.substeps
 
+    if fused:
+        from lifelike_tpu.ops import rollout_pallas, scalar_phys
+
+        sm = scalar_phys.build_scalar_model(model)
+
     def chained(M):
         """M receding-horizon MPPI solves, each warm-started from the last."""
 
@@ -76,8 +83,16 @@ def main():
                 ref = rollout_tl.precompute_reference(
                     model, clips, jnp.asarray(0), t0, horizon, policy_dt
                 )
+                rollout_fn = None
+                if fused:
+                    rollout_fn = lambda sk, uc: (
+                        rollout_pallas.rollout_tracking_fused(
+                            sm, params, sk, uc, ref
+                        )
+                    )
                 u_opt, diag = mppi_tl.mppi_step(
-                    c, params, cfg, k, tl_state, uw, ref
+                    c, params, cfg, k, tl_state, uw, ref,
+                    rollout_fn=rollout_fn,
                 )
                 return u_opt, diag["best_cost"]
 

@@ -20,7 +20,9 @@ import numpy as np
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("task", "pmc", "one of {pmc, epmc}")
+flags.DEFINE_string("task", "pmc", "one of {pmc, epmc, sepmc}")
+flags.DEFINE_integer("update_opponent_freq", 20,
+                     "(sepmc) re-sample the PFSP opponent every N updates")
 flags.DEFINE_string("env_config", "{}", "env config as a python dict literal")
 flags.DEFINE_string("policy_config", "{}", "net config overrides (dict literal)")
 flags.DEFINE_string("learner_config", "{}", "PPOConfig overrides (dict literal)")
@@ -136,6 +138,71 @@ def main(argv):
                 params, opt_state, env_state, obs, hs, prev_done, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+    elif FLAGS.task == "sepmc":
+        # Self-play Chase Tag (reference example_sepmc_train.sh: PFSPGameMgr
+        # over frozen historical models, init from the EPMC stage model).
+        from lifelike_tpu.models.sepmc import SEPMCConfig, SEPMCNet
+
+        bundle = factory.create_chase_tag_game(**env_config)
+        net = SEPMCNet(SEPMCConfig(**{k: v for k, v in pol_config.items()
+                                      if k in SEPMCConfig._fields}))
+        league.game_mgr_type = "pfsp"
+        env_state, obs = bundle.reset(key, batch=(B,))
+        hs = net.initial_state((B, 2))
+        obs0 = recurrent._agent_obs(obs, 0)
+        flat = {f: getattr(obs0, f) for f in obs0._fields}
+        params = net.init(
+            {"params": key, "hlc": key, "z": key}, flat, hs[:, 0],
+            jnp.zeros(B),
+        )
+        if FLAGS.init_model:
+            donor = pool.load_file("init", FLAGS.init_model)
+            paths = [tuple(p.split("/"))
+                     for p in FLAGS.init_model_subtree.split(",")]
+            params = freeze_lib.load_subtree(params, donor, paths)
+            logging.info("loaded frozen subtrees %s from %s", paths,
+                         FLAGS.init_model)
+            base_tx = learner.make_optimizer(cfg)
+            optimizer = (
+                freeze_lib.frozen_optimizer(base_tx, params, paths)
+                if FLAGS.freeze_init_subtree else base_tx
+            )
+        else:
+            optimizer = learner.make_optimizer(cfg)
+        opt_state = optimizer.init(params)
+        prev_done = jnp.zeros(B, bool)
+
+        pool.push("model_0000000", params, meta={"update": 0},
+                  persist=bool(FLAGS.model_pool_dir))
+        league.add_to_population("model_0000000")
+        rng = np.random.default_rng(FLAGS.seed)
+        opp_key = league.sample_opponent(rng)
+        params_opp = pool.pull(opp_key)
+
+        @jax.jit
+        def train(params, params_opp, opt_state, env_state, obs, hs,
+                  prev_done, key):
+            return recurrent.sepmc_learner_step(
+                net, bundle, cfg, optimizer, params, params_opp,
+                opt_state, env_state, obs, hs, prev_done, key,
+            )
+
+        for i in range(FLAGS.total_updates):
+            key, k = jax.random.split(key)
+            t0 = time.time()
+            params, opt_state, env_state, obs, hs, prev_done, metrics = train(
+                params, params_opp, opt_state, env_state, obs, hs,
+                prev_done, k
+            )
+            _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+            league.report_outcome(
+                opp_key, float(metrics["learner_return"]) > 0.0
+            )
+            if (i + 1) % FLAGS.update_opponent_freq == 0:
+                opp_key = league.sample_opponent(rng)
+                params_opp = pool.pull(opp_key)
+                logging.info("PFSP opponent -> %s (win rate %.2f)",
+                             opp_key, league.win_rate(opp_key))
     else:
         raise ValueError(f"unknown task {FLAGS.task}")
 

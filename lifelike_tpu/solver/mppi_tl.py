@@ -37,11 +37,15 @@ def mppi_step(
     ref: rollout_tl.RefTraj,
     terrain_fn=None,
     lanes=None,
+    rollout_fn=None,
 ):
     """One MPPI improvement for a single scenario.
 
     state: TLState with batch (1, 1) (broadcast to the population inside).
     u_nominal: (H, 4, 3). Returns (u_improved (H, 4, 3), diagnostics).
+    rollout_fn: optional (state_k, u_cand) -> total_cost (Bs, L) override —
+    e.g. the fused Pallas kernel (ops.rollout_pallas); default is the
+    XLA-scan rollout with this ref/terrain.
     """
     K, H = cfg.population, cfg.horizon
     if lanes is None:
@@ -59,9 +63,12 @@ def mppi_step(
             key_i, (H, 4, 3, Bs, lanes), cfg.beta, dtype
         )
         u_cand = u_nom[..., None, None] + noise  # (H,4,3,Bs,L)
-        total_cost, _ = rollout_tl.rollout_tracking(
-            c, params, state_k, u_cand, ref, terrain_fn
-        )  # (Bs, L)
+        if rollout_fn is not None:
+            total_cost = rollout_fn(state_k, u_cand)  # (Bs, L)
+        else:
+            total_cost, _ = rollout_tl.rollout_tracking(
+                c, params, state_k, u_cand, ref, terrain_fn
+            )  # (Bs, L)
         c_min = jnp.min(total_cost)
         w = jax.nn.softmax(
             (-(total_cost - c_min) / cfg.temperature).reshape(-1)
@@ -74,12 +81,21 @@ def mppi_step(
     return u_final, {"best_cost": c_mins[-1], "weighted_cost": c_means[-1]}
 
 
-def make_mpc_controller(model, c, params, clips, cfg: MPPIConfig, terrain_fn=None):
+def make_mpc_controller(model, c, params, clips, cfg: MPPIConfig, terrain_fn=None,
+                        fused=False):
     """Jitted receding-horizon controller over the tile-layout fast path.
 
+    fused=True runs the candidates through the single-kernel Pallas rollout
+    (ops.rollout_pallas; plane terrain only, population % 128 == 0).
     Returns f(key, robot_state (unbatched RobotState), clip_idx, t, u_warm
     (H,4,3)) -> (u_exec (12,), u_warm', diag)."""
     policy_dt = params.dt * params.substeps
+    if fused:
+        assert terrain_fn is None, "fused rollout supports plane terrain only"
+        assert cfg.population % 128 == 0, cfg.population
+        from lifelike_tpu.ops import rollout_pallas, scalar_phys
+
+        sm = scalar_phys.build_scalar_model(model)
 
     @jax.jit
     def controller(key, robot_state, clip_idx, t, u_warm):
@@ -87,7 +103,15 @@ def make_mpc_controller(model, c, params, clips, cfg: MPPIConfig, terrain_fn=Non
             model, clips, clip_idx, t, cfg.horizon, policy_dt
         )
         tl = B.tl_from_state(jax.tree.map(lambda x: x[None], robot_state))
-        u_opt, diag = mppi_step(c, params, cfg, key, tl, u_warm, ref, terrain_fn)
+        rollout_fn = None
+        if fused:
+            rollout_fn = lambda sk, uc: rollout_pallas.rollout_tracking_fused(
+                sm, params, sk, uc, ref
+            )
+        u_opt, diag = mppi_step(
+            c, params, cfg, key, tl, u_warm, ref, terrain_fn,
+            rollout_fn=rollout_fn,
+        )
         u_exec = (ref.target_joint[0, ..., 0, 0] + u_opt[0]).reshape(12)
         u_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
         return u_exec, u_next, diag
