@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from lifelike_tpu import _native
 from lifelike_tpu.math import quat
 
 # Future-goal horizon offsets in seconds (reference motion_lib.py:44).
@@ -66,12 +67,15 @@ def load_clips(data_path, policy_step=1.0 / 50.0, limit=None) -> MotionClips:
         files = [data_path]
     if limit:
         files = files[:limit]
-    datas = [json.load(open(f)) for f in files]
-    return pack_clips(
-        [np.asarray(d["Frames"], dtype=np.float32) for d in datas],
-        frame_step=float(datas[0]["FrameDuration"]),
-        policy_step=policy_step,
-    )
+    frames, frame_step = [], None
+    for f in files:
+        parsed = _native.parse_clip_file(f)  # C++ fast path
+        if parsed is None:  # no toolchain / nonstandard file: json fallback
+            d = json.load(open(f))
+            parsed = (np.asarray(d["Frames"], np.float32), d["FrameDuration"])
+        frames.append(parsed[0])
+        frame_step = frame_step or float(parsed[1])
+    return pack_clips(frames, frame_step=frame_step, policy_step=policy_step)
 
 
 def pack_clips(frame_arrays, frame_step, policy_step=1.0 / 50.0) -> MotionClips:
