@@ -44,6 +44,8 @@ class ChaseTagConfig(NamedTuple):
         kd=1.0, max_tau=16.0, substeps=20  # 25 Hz control (reference :23)
     )
     arena: arena_gen.ArenaConfig = arena_gen.ArenaConfig()
+    version: str = "v4"  # GameManager arena version (game_manager.py:5-18)
+    height_offset: tuple = (0.0, 0.0)  # randomize_height hook (v1-v3 arenas)
     push: randomizer.PushConfig = randomizer.PushConfig()
     max_steps: int = 1000
     friction_range: tuple = (0.4, 1.0)
@@ -177,7 +179,13 @@ def reset(model, cfg: ChaseTagConfig, key, batch=()):
     import math
 
     ks = jax.random.split(key, 8)
-    if batch == ():
+    if cfg.version != "v4":  # fixed arena versions (GameManager parity)
+        from lifelike_tpu.scene import arena_fixed
+
+        scene = arena_fixed.make_arena(
+            cfg.version, key=ks[0], height_offset=cfg.height_offset, batch=batch
+        )
+    elif batch == ():
         scene = arena_gen.generate(ks[0], cfg.arena)
     else:
         scene = jax.vmap(lambda k: arena_gen.generate(k, cfg.arena))(
@@ -186,9 +194,10 @@ def reset(model, cfg: ChaseTagConfig, key, batch=()):
         scene = jax.tree.map(lambda x: x.reshape(batch + x.shape[1:]), scene)
 
     pos_xy = jax.random.uniform(ks[1], batch + (2, 2), minval=-2.0, maxval=2.0)
-    pos = jnp.concatenate(
-        [pos_xy, jnp.full(batch + (2, 1), 0.5)], axis=-1
-    )
+    # stand on whatever occupies the spawn point (fixed-arena blocks, v4
+    # cubes) instead of spawning inside it and getting ejected by contact
+    ground = boxes.heightmap_at(scene, pos_xy)
+    pos = jnp.concatenate([pos_xy, (ground + 0.5)[..., None]], axis=-1)
     yaw0 = jax.random.uniform(ks[2], batch + (2,), maxval=2.0 * jnp.pi)
     robots = RobotState(
         base_pos=pos,

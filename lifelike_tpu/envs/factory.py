@@ -131,6 +131,8 @@ def create_chase_tag_game(**env_config) -> EnvBundle:
             hurdle=bool(el.get("hurdle", False)),
             hole=bool(el.get("hole", False)),
         ),
+        version=env_config.get("version", "v4"),
+        height_offset=tuple(rz.get("height_offset", (0.0, 0.0))),
         max_steps=env_config.get("max_steps", 1000),
         friction_range=tuple(rz.get("friction_range", (0.4, 1.0))),
         visible_angle=env_config.get("visible_angle", 3.141592653589793),
