@@ -38,10 +38,37 @@ flags.DEFINE_string("init_model_subtree", "params/llc",
 flags.DEFINE_bool("freeze_init_subtree", True, "freeze loaded subtrees")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend (debug)")
+flags.DEFINE_string("train_checkpoint", "",
+                    "file for full learner-state checkpoints (resume-able)")
+flags.DEFINE_integer("save_interval", 50,
+                     "save the train checkpoint every N updates")
 
 
 def _cfgd(s):
     return ast.literal_eval(s) if s else {}
+
+
+def _make_ckpt(registry):
+    if not FLAGS.train_checkpoint:
+        return None
+    return registry.TrainCheckpoint(FLAGS.train_checkpoint)
+
+
+def _resume(ckpt, key, **live):
+    """Restore live pytrees from the checkpoint; returns (start, key, live)."""
+    import jax
+
+    if ckpt is None or (st := ckpt.load()) is None:
+        return 0, key, live
+    live = {k: st["trees"].get(k, v) for k, v in live.items()}
+    start = st["step"] + 1
+    logging.info("resumed %s at update %d", ckpt.path, start)
+    return start, jax.random.fold_in(key, start), live
+
+
+def _maybe_save(ckpt, i, **trees):
+    if ckpt and (i + 1) % FLAGS.save_interval == 0:
+        ckpt.save(i, **trees)
 
 
 def main(argv):
@@ -91,13 +118,22 @@ def main(argv):
                 params, opt_state, env_state, key,
             )
 
-        for i in range(FLAGS.total_updates):
+        ckpt = _make_ckpt(registry)
+        start, key, live = _resume(
+            ckpt, key, params=params, opt_state=opt_state, env_state=env_state
+        )
+        params, opt_state, env_state = (
+            live["params"], live["opt_state"], live["env_state"]
+        )
+        for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
             params, opt_state, env_state, metrics = train(
                 params, opt_state, env_state, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+            _maybe_save(ckpt, i, params=params, opt_state=opt_state,
+                        env_state=env_state)
 
     elif FLAGS.task == "epmc":
         from lifelike_tpu.models.epmc import EPMCConfig, EPMCNet
@@ -131,13 +167,25 @@ def main(argv):
                 params, opt_state, env_state, obs, hs, prev_done, key,
             )
 
-        for i in range(FLAGS.total_updates):
+        ckpt = _make_ckpt(registry)
+        start, key, live = _resume(
+            ckpt, key, params=params, opt_state=opt_state,
+            env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
+        )
+        params, opt_state, env_state, obs, hs, prev_done = (
+            live["params"], live["opt_state"], live["env_state"],
+            live["obs"], live["hs"], live["prev_done"],
+        )
+        for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
             params, opt_state, env_state, obs, hs, prev_done, metrics = train(
                 params, opt_state, env_state, obs, hs, prev_done, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+            _maybe_save(ckpt, i, params=params, opt_state=opt_state,
+                        env_state=env_state, obs=obs, hs=hs,
+                        prev_done=prev_done)
     elif FLAGS.task == "sepmc":
         # Self-play Chase Tag (reference example_sepmc_train.sh: PFSPGameMgr
         # over frozen historical models, init from the EPMC stage model).
@@ -187,7 +235,16 @@ def main(argv):
                 opt_state, env_state, obs, hs, prev_done, key,
             )
 
-        for i in range(FLAGS.total_updates):
+        ckpt = _make_ckpt(registry)
+        start, key, live = _resume(
+            ckpt, key, params=params, opt_state=opt_state,
+            env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
+        )
+        params, opt_state, env_state, obs, hs, prev_done = (
+            live["params"], live["opt_state"], live["env_state"],
+            live["obs"], live["hs"], live["prev_done"],
+        )
+        for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
             params, opt_state, env_state, obs, hs, prev_done, metrics = train(
@@ -195,6 +252,9 @@ def main(argv):
                 prev_done, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+            _maybe_save(ckpt, i, params=params, opt_state=opt_state,
+                        env_state=env_state, obs=obs, hs=hs,
+                        prev_done=prev_done)
             league.report_outcome(
                 opp_key, float(metrics["learner_return"]) > 0.0
             )

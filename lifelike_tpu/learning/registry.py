@@ -73,6 +73,39 @@ class ModelPool:
         return self._models[key]
 
 
+class TrainCheckpoint:
+    """Full learner-state checkpoint (params + optimizer state + env state +
+    update counter) for crash/preemption resume.
+
+    The reference persists only the league population
+    (example_pmc_train.sh:101-104, --save_interval_secs=85); the learner
+    itself restarts cold. Here one file resumes the exact training step.
+    Pickled numpy pytrees (structure classes ride the pickle); written to a
+    temp file then atomically replaced, so a crash mid-save never corrupts
+    the previous checkpoint."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def save(self, step: int, **trees):
+        state = {
+            "step": int(step),
+            "trees": {k: _to_numpy(v) for k, v in trees.items()},
+        }
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, self.path)
+
+    def load(self) -> Optional[dict]:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path, "rb") as f:
+            return pickle.load(f)
+
+
 class LeagueManager:
     """Population of frozen models + PFSP match-making + win statistics."""
 
