@@ -20,6 +20,7 @@ flags.DEFINE_integer("episodes", 2, "episodes to run")
 flags.DEFINE_integer("max_steps", 200, "step cap per episode")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend")
+flags.DEFINE_string("dump", "", "write eval trajectories to this .npz")
 
 
 def main(argv):
@@ -29,8 +30,11 @@ def main(argv):
     from lifelike_tpu.envs import factory
     from lifelike_tpu.learning import registry
 
+    from lifelike_tpu.utils.trajectory import TrajectoryDump
+
     env_config = ast.literal_eval(FLAGS.env_config) if FLAGS.env_config else {}
     key = jax.random.PRNGKey(FLAGS.seed)
+    dump = TrajectoryDump(FLAGS.dump) if FLAGS.dump else None
 
     if FLAGS.task == "pmc":
         from lifelike_tpu.models.pmc import PMCNet
@@ -54,6 +58,8 @@ def main(argv):
                 out = fwd(params, obs)
                 env_state, obs, r, done, info = step(env_state, out.mean)
                 ret += float(r)
+                if dump:
+                    dump.add(env_state.robot, reward=r, episode=ep)
                 if bool(done):
                     break
             ep_rets.append(ret)
@@ -91,6 +97,8 @@ def main(argv):
                     env_state, {"A_Z": out.z_idx, "A_LLC": out.mean}, k2
                 )
                 ret += float(r)
+                if dump:
+                    dump.add(env_state.robot, reward=r, episode=ep)
                 if bool(done):
                     break
             logging.info("episode %d: reward_sum %.4f len %d info %s",
@@ -129,6 +137,8 @@ def main(argv):
                     env_state, {"A_LLC": out.mean}, k3
                 )
                 rets += np.asarray(r)
+                if dump:
+                    dump.add(env_state.robots, reward=r, episode=ep)
                 if bool(done):
                     break
             logging.info("episode %d: rewards %s len %d info %s",
@@ -137,6 +147,9 @@ def main(argv):
                           jax.device_get(info).items()})
     else:
         raise ValueError(FLAGS.task)
+
+    if dump:
+        logging.info("trajectory written to %s", dump.save())
 
 
 if __name__ == "__main__":

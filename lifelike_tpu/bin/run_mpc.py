@@ -25,6 +25,7 @@ flags.DEFINE_integer("horizon", 10, "MPC horizon (control steps)")
 flags.DEFINE_integer("iterations", 1, "MPPI iterations per solve")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend")
+flags.DEFINE_string("dump", "", "write the closed-loop trajectory to this .npz")
 
 
 def main(argv):
@@ -52,6 +53,9 @@ def main(argv):
     step = jax.jit(lambda e, a: primitive.step(model, clips, cfg, e, a))
 
     u = jnp.zeros((mcfg.horizon, 4, 3))
+    from lifelike_tpu.utils.trajectory import TrajectoryDump
+
+    dump = TrajectoryDump(FLAGS.dump) if FLAGS.dump else None
     rewards, ep_rewards, ep_lens = [], [], []
     t_solve = []
     for i in range(FLAGS.steps):
@@ -63,6 +67,8 @@ def main(argv):
         action = tgt - env.robot.joint_pos
         env, obs, r, done, info = step(env, action)
         rewards.append(float(r))
+        if dump:
+            dump.add(env.robot, reward=r, solve_ms=1e3 * t_solve[-1])
         if bool(done):
             ep_rewards.append(sum(rewards))
             ep_lens.append(len(rewards))
@@ -85,6 +91,8 @@ def main(argv):
         float(np.mean(ep_lens)),
         1e3 * float(np.percentile(t_solve[1:], 50)) if len(t_solve) > 1 else -1,
     )
+    if FLAGS.dump:
+        logging.info("trajectory written to %s", dump.save())
 
 
 if __name__ == "__main__":
