@@ -38,7 +38,9 @@ def main():
     # 1 s — see tests/test_batched_layout.py). BENCH_MASS_FREEZE=1 for exact.
     mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
     # 1 = single-kernel Pallas rollout (ops.rollout_pallas); 0 = XLA scan.
-    fused = bool(int(os.environ.get("BENCH_FUSED", 1)))
+    # The fused kernel needs the tile layout's lane dim full (pop % 128 == 0);
+    # small probe sizes fall back to the XLA-scan path automatically.
+    fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and pop % 128 == 0
 
     from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
