@@ -34,6 +34,11 @@ class PPOConfig(NamedTuple):
     rms_loss_coef: float = 1.0
     max_grad_norm: float = 0.5
     unroll_length: int = 16  # reference uses 128; shorter default for tests
+    # replay staging (reference: rollout_len 8, rm_size 1024, batch 256)
+    rollout_length: int = 8  # window length sampled from the replay
+    replay_size: int = 256  # window slots held in HBM
+    batch_windows: int = 32  # slots per sampled minibatch
+    num_updates: int = 4  # optimizer steps per collected unroll
 
 
 class Rollout(NamedTuple):
@@ -163,3 +168,52 @@ def learner_step(
         net, optimizer, cfg, params, opt_state, rollout, axis_name
     )
     return params, opt_state, env_state, metrics
+
+
+def replay_init(net, model, clips, env_cfg, cfg: PPOConfig, env_state):
+    """Empty replay buffer shaped after one (rollout_length, B) window."""
+    from lifelike_tpu.learning import replay as rp
+
+    obs = primitive._observe(clips, env_cfg, env_state)
+    dt = obs.prop.dtype
+    example = Rollout(
+        prop=jnp.zeros((cfg.rollout_length,) + obs.prop.shape[1:], dt),
+        prop_a=jnp.zeros((cfg.rollout_length,) + obs.prop_a.shape[1:], dt),
+        future=jnp.zeros((cfg.rollout_length,) + obs.future.shape[1:], dt),
+        action=jnp.zeros((cfg.rollout_length, 12), dt),
+        neglogp=jnp.zeros((cfg.rollout_length,), dt),
+        reward=jnp.zeros((cfg.rollout_length,), dt),
+        discount=jnp.zeros((cfg.rollout_length,), dt),
+    )
+    return rp.replay_init(example, cfg.replay_size)
+
+
+def learner_step_replayed(
+    net, model, clips, env_cfg, cfg: PPOConfig, optimizer,
+    params, opt_state, env_state, replay, key, axis_name=None,
+):
+    """Collect one unroll, stage it in the replay, and run
+    cfg.num_updates sampled-minibatch PPO updates — the reference's
+    pull-worker / replay-memory / batch-worker pipeline as one jit program
+    (run_pg_learner.py:36,42-43 semantics, device-resident)."""
+    from lifelike_tpu.learning import replay as rp
+
+    k_roll, k_upd = jax.random.split(key)
+    env_state, rollout = collect_rollout(
+        net, model, clips, env_cfg, cfg, params, env_state, k_roll
+    )
+    replay = rp.replay_add(replay, rp.windows_from_unroll(rollout, cfg.rollout_length))
+
+    def upd(carry, key_u):
+        params, opt_state = carry
+        batch = rp.as_time_major(rp.replay_sample(replay, key_u, cfg.batch_windows))
+        params, opt_state, metrics = train_step(
+            net, optimizer, cfg, params, opt_state, batch, axis_name
+        )
+        return (params, opt_state), metrics
+
+    (params, opt_state), metrics = jax.lax.scan(
+        upd, (params, opt_state), jax.random.split(k_upd, cfg.num_updates)
+    )
+    metrics = jax.tree.map(lambda m: m[-1], metrics)
+    return params, opt_state, env_state, replay, metrics

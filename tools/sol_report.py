@@ -9,6 +9,9 @@ the achieved fraction of the chip's speed of light via utils.profiling.
   SOL_POP=512 SOL_HORIZON=10 python tools/sol_report.py
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
