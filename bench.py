@@ -41,6 +41,7 @@ def main():
     # The fused kernel needs the tile layout's lane dim full (pop % 128 == 0);
     # small probe sizes fall back to the XLA-scan path automatically.
     fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and pop % 128 == 0
+    bs_tile = int(os.environ.get("BENCH_TILE", 0)) or None  # kernel sublane tile
 
     from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
@@ -89,7 +90,7 @@ def main():
                 if fused:
                     rollout_fn = lambda sk, uc: (
                         rollout_pallas.rollout_tracking_fused(
-                            sm, params, sk, uc, ref
+                            sm, params, sk, uc, ref, bs_tile=bs_tile
                         )
                     )
                 u_opt, diag = mppi_tl.mppi_step(

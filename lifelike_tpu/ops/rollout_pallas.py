@@ -207,18 +207,25 @@ def rollout_tracking_fused(
     ref: rollout_tl.RefTraj,
     weights: TrackingWeights = TrackingWeights(),
     interpret: bool = None,
+    bs_tile: int = None,
 ):
     """Fused replacement for rollout_tl.rollout_tracking (cost only).
 
     model: robot.model MaxModel or a prebuilt scalar_phys.ScalarModel.
-    state: TLState with batch broadcastable to (Bs, 128), Bs % BS_TILE == 0.
+    state: TLState with batch broadcastable to (Bs, 128), Bs % bs_tile == 0.
     controls: (H, 4, 3, Bs, 128) joint-target deltas on ref.target_joint.
+    bs_tile: sublane rows per grid program (default BS_TILE). Larger tiles
+    give every VPU op bs_tile/8 independent native tiles, hiding the serial
+    substep dependency chain — bounded by the (H, 4, 3, bs_tile, 128)
+    control slice fitting VMEM (~16 MB/core).
     Returns total_cost (Bs, 128).
     """
     sm = model if isinstance(model, SP.ScalarModel) else SP.build_scalar_model(model)
     H = controls.shape[0]
     Bs, L = controls.shape[-2], controls.shape[-1]
-    bs_tile = min(BS_TILE, Bs)  # small populations: waste sublanes, still run
+    if bs_tile is None:
+        bs_tile = BS_TILE
+    bs_tile = min(bs_tile, Bs)  # small populations: waste sublanes, still run
     assert L == LANES and Bs % bs_tile == 0, (Bs, L)
     if state.base_pos.shape[-2:] != (Bs, L):
         state = jax.tree.map(
