@@ -44,7 +44,13 @@ def main(argv):
         net = PMCNet()
         env_state, obs = bundle.reset(key)
         params = net.init(key, obs.prop, obs.prop_a, obs.future)
-        if FLAGS.model_path:
+        if FLAGS.model_path.endswith(".model"):
+            # reference TLeague checkpoint (data/models/primitive_level.model)
+            from lifelike_tpu.compat import tleague_import
+
+            params = tleague_import.import_pmc(FLAGS.model_path, params)
+            logging.info("imported reference checkpoint %s", FLAGS.model_path)
+        elif FLAGS.model_path:
             params = registry.ModelPool().load_file("eval", FLAGS.model_path)
         fwd = jax.jit(lambda p, o: net.apply(p, o.prop, o.prop_a, o.future))
         step = jax.jit(lambda s, a: bundle.step(s, a))

@@ -1,0 +1,298 @@
+"""Import pretrained reference checkpoints (TLeague joblib ``.model`` files).
+
+The reference ships five pretrained models (reference data/models/*.model;
+loaded at test_scripts/primitive_level/test_primitive_level_env.py:69-70).
+Each is a pickle of ``tleague.model_pools.model.Model`` whose ``model``
+attribute is the flat list of TF1 trainable variables in graph-creation
+order (TLeague publishes/loads models as ordered ndarray lists, no names).
+
+This module unpickles those files WITHOUT TLeague installed (a stub
+unpickler absorbs every ``tleague.*`` class) and maps the flat variable
+list onto the Flax parameter pytrees of the TPU-native nets, so a user of
+the reference can evaluate / fine-tune / stage-hand-off their existing
+checkpoints directly in this framework.
+
+Variable order facts used by the mapping (verified against the reference
+sources — creation order of ``tf.get_variable`` calls):
+
+* ``rms`` creates (moving_mean, moving_std), each shaped (1, D), and
+  normalizes as ``(x - mean) / (std + 1e-8)`` then clip +-5
+  (reference networks/layers.py:40-56, pmc_net.py:131-135).
+* PMC (reference pmc_net/pmc_net.py:119-177): prop_rms, future_rms,
+  vf (2x256 tanh -> 1), encoder (2x256 relu -> z 32), VQ codebook
+  ``llc/embedding`` (32, 256), llc prop_embed (135->64), z_embed (32->32),
+  decoder (96->256->256->12), logstd (1, 12) — 28 variables total.
+* TF dense kernels are (in, out), identical to Flax — no transposes.
+
+The EPMC/SEPMC checkpoints embed the same frozen LLC + codebook at their
+tails (reference epmc_net.py:166-174 loads them under the 'freeze' scope);
+``import_frozen_llc`` extracts that subtree for stage hand-off, which is
+exact regardless of the LSTM parametrization of the higher levels.
+"""
+import pickle
+from typing import List, NamedTuple
+
+import numpy as np
+
+
+class TLeagueModel(NamedTuple):
+    arrays: List[np.ndarray]  # flat trainable variables, creation order
+    key: str
+    createtime: str
+    updatetime: str
+
+
+# ---------------------------------------------------------------------------
+# Stub unpickling (no tleague dependency)
+# ---------------------------------------------------------------------------
+
+
+def _stub_setstate(self, state):
+    if isinstance(state, dict):
+        self.__dict__.update(state)
+    else:
+        self._state = state
+
+
+def _stub_init(self, *args, **kwargs):
+    self._args = args
+    self._kwargs = kwargs
+
+
+class _StubMeta(type):
+    """Class whose attribute access mints nested stub classes on demand
+    (pickle resolves dotted names like ``Model.Blackboard`` via getattr)."""
+
+    def __getattr__(cls, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        sub = _StubMeta(
+            name, (object,), {"__setstate__": _stub_setstate, "__init__": _stub_init}
+        )
+        setattr(cls, name, sub)
+        return sub
+
+
+_STUB_CACHE = {}
+
+
+def _stub_find_class(module, name):
+    """Resolve tleague/tpolicies globals to on-demand stub classes, or None."""
+    if not module.startswith(("tleague", "tpolicies", "tensorflow", "horovod")):
+        return None
+    if module not in _STUB_CACHE:
+        _STUB_CACHE[module] = _StubMeta(
+            module, (object,), {"__setstate__": _stub_setstate, "__init__": _stub_init}
+        )
+    cls = _STUB_CACHE[module]
+    for part in name.split("."):
+        cls = getattr(cls, part)
+    return cls
+
+
+class _TLeagueUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        stub = _stub_find_class(module, name)
+        return stub if stub is not None else super().find_class(module, name)
+
+
+def _load_joblib_stubbed(path: str):
+    """joblib numpy-pickles store arrays out-of-band; reuse joblib's
+    NumpyUnpickler with the tleague stub find_class grafted on."""
+    import inspect
+
+    import joblib.numpy_pickle as _jnp
+
+    def _find_class(self, module, name):
+        stub = _stub_find_class(module, name)
+        return (
+            stub
+            if stub is not None
+            else _jnp.NumpyUnpickler.find_class(self, module, name)
+        )
+
+    cls = type(
+        "_StubbedNumpyUnpickler", (_jnp.NumpyUnpickler,), {"find_class": _find_class}
+    )
+    kwargs = {}
+    if "ensure_native_byte_order" in inspect.signature(
+        _jnp.NumpyUnpickler.__init__
+    ).parameters:
+        kwargs["ensure_native_byte_order"] = False
+    with open(path, "rb") as f:
+        return cls(path, f, **kwargs).load()
+
+
+def load_tleague_model(path: str) -> TLeagueModel:
+    """Unpickle a reference ``.model`` file into its flat variable list."""
+    try:
+        with open(path, "rb") as f:
+            obj = _TLeagueUnpickler(f).load()
+    except Exception:
+        obj = _load_joblib_stubbed(path)
+    d = obj.__dict__
+    arrays = d["model"]
+    if not isinstance(arrays, (list, tuple)):
+        raise ValueError(f"{path}: unexpected Model.model payload {type(arrays)}")
+    return TLeagueModel(
+        arrays=[np.asarray(a) for a in arrays],
+        key=str(d.get("key", "")),
+        createtime=str(d.get("createtime", "")),
+        updatetime=str(d.get("updatetime", "")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMC mapping (exact; 28 variables)
+# ---------------------------------------------------------------------------
+
+# (pickle index, flax path relative to params root, squeeze-leading-1?)
+_PMC_LAYOUT = [
+    (0, ("prop_rms", "moving_mean"), True),
+    (1, ("prop_rms", "moving_std"), True),
+    (2, ("future_rms", "moving_mean"), True),
+    (3, ("future_rms", "moving_std"), True),
+    (4, ("vf", "Dense_0", "kernel"), False),
+    (5, ("vf", "Dense_0", "bias"), False),
+    (6, ("vf", "Dense_1", "kernel"), False),
+    (7, ("vf", "Dense_1", "bias"), False),
+    (8, ("value_out", "kernel"), False),
+    (9, ("value_out", "bias"), False),
+    (10, ("encoder", "Dense_0", "kernel"), False),
+    (11, ("encoder", "Dense_0", "bias"), False),
+    (12, ("encoder", "Dense_1", "kernel"), False),
+    (13, ("encoder", "Dense_1", "bias"), False),
+    (14, ("z_out", "kernel"), False),
+    (15, ("z_out", "bias"), False),
+    (16, ("llc", "embedding"), False),
+    (17, ("llc", "prop_embed", "kernel"), False),
+    (18, ("llc", "prop_embed", "bias"), False),
+    (19, ("llc", "z_embed", "kernel"), False),
+    (20, ("llc", "z_embed", "bias"), False),
+    (21, ("llc", "decoder", "Dense_0", "kernel"), False),
+    (22, ("llc", "decoder", "Dense_0", "bias"), False),
+    (23, ("llc", "decoder", "Dense_1", "kernel"), False),
+    (24, ("llc", "decoder", "Dense_1", "bias"), False),
+    (25, ("llc", "head", "mean", "kernel"), False),
+    (26, ("llc", "head", "mean", "bias"), False),
+    (27, ("llc", "head", "logstd"), True),
+]
+
+PMC_NUM_VARS = 28
+
+
+def _set_path(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"param {old.shape} vs checkpoint {value.shape}")
+    node[path[-1]] = value.astype(np.asarray(old).dtype)
+
+
+def import_pmc(source, template_params) -> dict:
+    """Map a reference primitive_level checkpoint onto PMCNet params.
+
+    source: path to a ``.model`` file, a TLeagueModel, or a raw array list.
+    template_params: ``PMCNet().init(...)`` output (defines dtypes/shapes).
+    Returns a new params pytree with every variable replaced.
+    """
+    import jax
+
+    arrays = _as_arrays(source)
+    if len(arrays) != PMC_NUM_VARS:
+        raise ValueError(
+            f"expected {PMC_NUM_VARS} PMC variables, got {len(arrays)} "
+            "(is this a primitive_level checkpoint?)"
+        )
+    tree = jax.tree.map(np.asarray, jax.device_get(template_params))
+    params = tree["params"] if "params" in tree else tree
+    for idx, path, squeeze in _PMC_LAYOUT:
+        a = arrays[idx]
+        if squeeze and a.ndim > 1:
+            a = a.reshape(a.shape[-1])
+        _set_path(params, path, a)
+    return tree
+
+
+def _as_arrays(source):
+    if isinstance(source, str):
+        return load_tleague_model(source).arrays
+    if isinstance(source, TLeagueModel):
+        return source.arrays
+    return list(source)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-LLC extraction from EPMC / SEPMC checkpoints (stage hand-off)
+# ---------------------------------------------------------------------------
+
+# The frozen PMC subtree sits at the tail of the higher-level var lists:
+# [..., codebook (32,256), prop_embed k/b, z_embed k/b, decoder k/b x2,
+#  mean k/b, logstd (1,12)] — 12 variables (reference epmc_net.py:166-174,
+# 251-256; sepmc_net.py:211-219, 312-319). The rms that feeds the LLC is the
+# prop_rms pair at the head of the list (created first in every net).
+_LLC_TAIL = [
+    ("embedding",),
+    ("prop_embed", "kernel"),
+    ("prop_embed", "bias"),
+    ("z_embed", "kernel"),
+    ("z_embed", "bias"),
+    ("decoder", "Dense_0", "kernel"),
+    ("decoder", "Dense_0", "bias"),
+    ("decoder", "Dense_1", "kernel"),
+    ("decoder", "Dense_1", "bias"),
+    ("head", "mean", "kernel"),
+    ("head", "mean", "bias"),
+    ("head", "logstd"),
+]
+
+
+def extract_frozen_llc(source) -> dict:
+    """LLC (codebook + decoder) subtree from any of the five checkpoints,
+    as a dict matching the ``llc`` module scope of PMCNet/EPMCNet/SEPMCNet."""
+    arrays = _as_arrays(source)
+    tail = arrays[-len(_LLC_TAIL):] if len(arrays) != PMC_NUM_VARS else [
+        arrays[i] for i in (16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27)
+    ]
+    out = {}
+    for (path, a) in zip(_LLC_TAIL, tail):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        v = np.asarray(a)
+        if path[-1] == "logstd" and v.ndim > 1:
+            v = v.reshape(v.shape[-1])
+        node[path[-1]] = v
+    if out["embedding"].shape != (32, 256):
+        raise ValueError(f"codebook shape {out['embedding'].shape} != (32, 256)")
+    return out
+
+
+def import_llc_into(params_tree, source) -> dict:
+    """Replace the ``llc`` subtree of a net's params with the frozen LLC of a
+    reference checkpoint (the functional analog of llc_param_type='freeze')."""
+    import jax
+
+    tree = jax.tree.map(np.asarray, jax.device_get(params_tree))
+    root = tree["params"] if "params" in tree else tree
+    llc = extract_frozen_llc(source)
+    _merge_checked(root["llc"], llc, ("llc",))
+    return tree
+
+
+def _merge_checked(dst, src, where):
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"{'/'.join(where)} has no param {k}")
+        if isinstance(v, dict):
+            _merge_checked(dst[k], v, where + (k,))
+        else:
+            if tuple(dst[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(where + (k,))}: "
+                    f"{dst[k].shape} vs {v.shape}"
+                )
+            dst[k] = v.astype(np.asarray(dst[k]).dtype)
