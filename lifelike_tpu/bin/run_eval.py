@@ -83,7 +83,12 @@ def main(argv):
         hs = net.initial_state(())
         params = net.init({"params": key, "z": key}, obs._asdict(), hs,
                           jnp.zeros(()))
-        if FLAGS.model_path:
+        if FLAGS.model_path.endswith(".model"):
+            from lifelike_tpu.compat import tleague_import
+
+            params = tleague_import.import_epmc(FLAGS.model_path, params)
+            logging.info("imported reference checkpoint %s", FLAGS.model_path)
+        elif FLAGS.model_path:
             params = registry.ModelPool().load_file("eval", FLAGS.model_path)
         fwd = jax.jit(
             lambda p, o, h, k: net.apply(p, o._asdict(), h, jnp.zeros(()),
@@ -122,7 +127,12 @@ def main(argv):
             {"params": key, "hlc": key, "z": key},
             flat(obs), hs, jnp.zeros(2),
         )
-        if FLAGS.model_path:
+        if FLAGS.model_path.endswith(".model"):
+            from lifelike_tpu.compat import tleague_import
+
+            params = tleague_import.import_sepmc(FLAGS.model_path, params)
+            logging.info("imported reference checkpoint %s", FLAGS.model_path)
+        elif FLAGS.model_path:
             params = registry.ModelPool().load_file("eval", FLAGS.model_path)
         fwd = jax.jit(
             lambda p, o, h, k1, k2: net.apply(

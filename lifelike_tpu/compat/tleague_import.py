@@ -226,6 +226,166 @@ def _as_arrays(source):
 
 
 # ---------------------------------------------------------------------------
+# EPMC mapping (102 variables; reference epmc_net.py creation order)
+# ---------------------------------------------------------------------------
+
+
+def _dense(path):
+    return [path + ("kernel",), path + ("bias",)]
+
+
+def _conv_stack(path):
+    out = []
+    for i in range(4):
+        out += _dense(path + (f"Conv_{i}",))
+    return out
+
+
+def _usr_cmd(path, with_vec=True):
+    # creation order: percep_2d convs, percep_1d convs, percep_front convs,
+    # [vec fc,] bottleneck fc (reference epmc_net.py:117-131; the SEPMC
+    # value/HLC encoders have no vec branch, sepmc_net.py:156-179)
+    out = (
+        _conv_stack(path + ("percep_2d",))
+        + _conv_stack(path + ("percep_1d",))
+        + _conv_stack(path + ("percep_front",))
+    )
+    if with_vec:
+        out += _dense(path + ("vec_fc",))
+    return out + _dense(path + ("bottleneck",))
+
+
+def _lnlstm(path):
+    # wx, wh, b, then LN(x-branch) beta/gamma, LN(h-branch) beta/gamma,
+    # LN(cell) beta/gamma — see LayerNormLSTMCell's docstring for evidence
+    return [
+        path + (n,)
+        for n in (
+            "wx", "wh", "b",
+            "ln_x_beta", "ln_x_gamma",
+            "ln_h_beta", "ln_h_gamma",
+            "ln_c_beta", "ln_c_gamma",
+        )
+    ]
+
+
+def _llc_paths(prefix=("llc",)):
+    return (
+        [prefix + ("embedding",)]
+        + _dense(prefix + ("prop_embed",))
+        + _dense(prefix + ("z_embed",))
+        + _dense(prefix + ("decoder", "Dense_0"))
+        + _dense(prefix + ("decoder", "Dense_1"))
+        + _dense(prefix + ("head", "mean"))
+        + [prefix + ("head", "logstd")]
+    )
+
+
+_EPMC_PATHS = (
+    [("prop_rms", "moving_mean"), ("prop_rms", "moving_std")]
+    + _dense(("vf_fc1",))
+    + _usr_cmd(("vf_cmd",))
+    + _dense(("vf_fc2",))
+    + _dense(("vf_fc3",))
+    + _lnlstm(("vf_lstm",))
+    + _dense(("value_out",))
+    + _dense(("pi_prop_embed",))
+    + _usr_cmd(("pi_cmd",))
+    + _dense(("pi_fc",))
+    + _lnlstm(("pi_lstm",))
+    + _dense(("z_out",))
+    + _llc_paths()
+)
+
+EPMC_NUM_VARS = 102
+assert len(_EPMC_PATHS) == EPMC_NUM_VARS
+
+# variables stored as (1, D) in TF but (D,) in Flax
+_SQUEEZE_NAMES = {"moving_mean", "moving_std", "logstd", "hlc_logvar"}
+
+
+def import_epmc(source, template_params) -> dict:
+    """Map a reference environmental_level_* checkpoint onto EPMCNet params."""
+    import jax
+
+    arrays = _as_arrays(source)
+    if len(arrays) != EPMC_NUM_VARS:
+        raise ValueError(
+            f"expected {EPMC_NUM_VARS} EPMC variables, got {len(arrays)} "
+            "(is this an environmental_level checkpoint?)"
+        )
+    tree = jax.tree.map(np.asarray, jax.device_get(template_params))
+    params = tree["params"] if "params" in tree else tree
+    for a, path in zip(arrays, _EPMC_PATHS):
+        if path[-1] in _SQUEEZE_NAMES and a.ndim > 1:
+            a = a.reshape(a.shape[-1])
+        _set_path(params, path, a)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# SEPMC mapping (152 variables; reference sepmc_net.py creation order)
+# ---------------------------------------------------------------------------
+
+_SEPMC_PATHS = (
+    [("prop_rms", "moving_mean"), ("prop_rms", "moving_std")]
+    # value towers (cheat obs): prop fc1, percept encoder (no vec) -> fc2,
+    # hlc cheat cmd (2 fc) -> fc3, concat -> fc4 -> LSTM -> value
+    # (sepmc_net.py:271-289)
+    + _dense(("vf_fc1",))
+    + _usr_cmd(("vf_mlc_cmd",), with_vec=False)
+    + _dense(("vf_fc2",))
+    + _dense(("vf_hlc_cmd", "Dense_0"))
+    + _dense(("vf_hlc_cmd", "Dense_1"))
+    + _dense(("vf_fc3",))
+    + _dense(("vf_fc4",))
+    + _lnlstm(("vf_lstm",))
+    + _dense(("value_out",))
+    # HLC (sepmc_net.py:127-152): prop embed, percept encoder (no vec),
+    # hlc cmd (2 fc), concat fc, LSTM, angle mean dense, logvar
+    + _dense(("hlc_prop_embed",))
+    + _usr_cmd(("hlc_mlc_cmd",), with_vec=False)
+    + _dense(("hlc_cmd", "Dense_0"))
+    + _dense(("hlc_cmd", "Dense_1"))
+    + _dense(("hlc_fc",))
+    + _lnlstm(("hlc_lstm",))
+    + _dense(("hlc_mu",))
+    + [("hlc_logvar",)]
+    # frozen MLC (sepmc_net.py:179-208): prop embed, percept encoder WITH
+    # the injected target_info vec (3 -> 32), concat fc, LSTM, z head
+    + _dense(("mlc_prop_embed",))
+    + _usr_cmd(("mlc_cmd",), with_vec=True)
+    + _dense(("mlc_fc",))
+    + _lnlstm(("mlc_lstm",))
+    + _dense(("z_out",))
+    # frozen LLC
+    + _llc_paths()
+)
+
+SEPMC_NUM_VARS = 152
+assert len(_SEPMC_PATHS) == SEPMC_NUM_VARS
+
+
+def import_sepmc(source, template_params) -> dict:
+    """Map the reference strategic_level checkpoint onto SEPMCNet params."""
+    import jax
+
+    arrays = _as_arrays(source)
+    if len(arrays) != SEPMC_NUM_VARS:
+        raise ValueError(
+            f"expected {SEPMC_NUM_VARS} SEPMC variables, got {len(arrays)} "
+            "(is this a strategic_level checkpoint?)"
+        )
+    tree = jax.tree.map(np.asarray, jax.device_get(template_params))
+    params = tree["params"] if "params" in tree else tree
+    for a, path in zip(arrays, _SEPMC_PATHS):
+        if path[-1] in _SQUEEZE_NAMES and a.ndim > 1:
+            a = a.reshape(a.shape[-1])
+        _set_path(params, path, a)
+    return tree
+
+
+# ---------------------------------------------------------------------------
 # Frozen-LLC extraction from EPMC / SEPMC checkpoints (stage hand-off)
 # ---------------------------------------------------------------------------
 

@@ -57,22 +57,49 @@ class EPMCConfig(NamedTuple):
 
 
 class LayerNormLSTMCell(nn.Module):
-    """LSTM with layer-normalized gate preactivations (reference
-    lstm_layer_norm=True). State packed as hs = concat[c, h]."""
+    """TLeague-compatible layer-norm LSTM (reference lstm_cell_type='lstm',
+    lstm_layer_norm=True, forget_bias=1.0 — epmc_net_data.py:81-85).
+
+    Exact parametrization of tpolicies' lstm_embed_block as evidenced by the
+    pretrained checkpoints: separate input/recurrent kernels, a shared gate
+    bias, and three layer norms —
+
+        z = LN(x @ wx; g_x, b_x) + LN(h @ wh; g_h, b_h) + b
+        i, f, o, u = split(z, 4)
+        c' = sigmoid(f + forget_bias) * c + sigmoid(i) * tanh(u)
+        h' = sigmoid(o) * tanh(LN(c'; g_c, b_c))
+
+    (In the published EPMC/SEPMC checkpoints b, b_x and b_h are numerically
+    identical — they receive the same gradient in this structure — which
+    pins the additive composition above.) State packed as hs = concat[c, h].
+    Param names mirror the checkpoint variable order for compat import
+    (compat/tleague_import.py).
+    """
 
     features: int
     forget_bias: float = 1.0
+    ln_eps: float = 1e-12  # tf.contrib.layers.layer_norm default
+
+    def _ln(self, v, name):
+        gamma = self.param(f"{name}_gamma", nn.initializers.ones, (v.shape[-1],))
+        beta = self.param(f"{name}_beta", nn.initializers.zeros, (v.shape[-1],))
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.var(v, axis=-1, keepdims=True)
+        return gamma * (v - mu) * jax.lax.rsqrt(var + self.ln_eps) + beta
 
     @nn.compact
     def __call__(self, hs, x):
+        nh = self.features
         c, h = jnp.split(hs, 2, axis=-1)
-        z = nn.Dense(4 * self.features, use_bias=True)(
-            jnp.concatenate([x, h], axis=-1)
+        wx = self.param(
+            "wx", nn.initializers.lecun_normal(), (x.shape[-1], 4 * nh)
         )
-        z = nn.LayerNorm()(z)
-        i, f, g, o = jnp.split(z, 4, axis=-1)
-        c = jax.nn.sigmoid(f + self.forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        wh = self.param("wh", nn.initializers.lecun_normal(), (nh, 4 * nh))
+        b = self.param("b", nn.initializers.zeros, (4 * nh,))
+        z = self._ln(x @ wx, "ln_x") + self._ln(h @ wh, "ln_h") + b
+        i, f, o, u = jnp.split(z, 4, axis=-1)
+        c = jax.nn.sigmoid(f + self.forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(u)
+        h = jax.nn.sigmoid(o) * jnp.tanh(self._ln(c, "ln_c"))
         return jnp.concatenate([c, h], axis=-1), h
 
 
@@ -109,18 +136,31 @@ class Percep1DEncoder(nn.Module):
 
 
 class UsrCmdEncoder(nn.Module):
+    """Perception-command encoder (reference epmc_net.py:117-131,
+    sepmc_net.py mlc_usr_cmd_encoder). The vec branch (target fc 3->32) is
+    created only when a vec command is given — the SEPMC value/HLC towers
+    encode percepts alone (bottleneck 88->64), while the MLC proper gets
+    target_info (bottleneck 120->64)."""
+
     cfg: EPMCConfig
 
     @nn.compact
-    def __call__(self, percep_2d, percep_1d, percep_front, target):
+    def __call__(self, percep_2d, percep_1d, percep_front, target=None):
         act = getattr(nn, self.cfg.activation)
-        t = act(nn.Dense(32, kernel_init=normc_init(1.0))(target))
         e2d = Percep2DEncoder(self.cfg.activation, name="percep_2d")(percep_2d)
         e1d = Percep1DEncoder(self.cfg.activation, name="percep_1d")(percep_1d)
         efr = Percep2DEncoder(self.cfg.activation, name="percep_front")(percep_front)
-        h = jnp.concatenate([t, e2d, e1d, efr], axis=-1)
+        embeds = [e2d, e1d, efr]
+        if target is not None:
+            t = act(nn.Dense(32, kernel_init=normc_init(1.0), name="vec_fc")(target))
+            embeds = [t] + embeds
+        h = jnp.concatenate(embeds, axis=-1)
         return act(
-            nn.Dense(self.cfg.bot_neck_prop_embed_size, kernel_init=normc_init(1.0))(h)
+            nn.Dense(
+                self.cfg.bot_neck_prop_embed_size,
+                kernel_init=normc_init(1.0),
+                name="bottleneck",
+            )(h)
         )
 
 

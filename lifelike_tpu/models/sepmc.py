@@ -135,12 +135,10 @@ class SEPMCNet(nn.Module):
 
         p2d, p1d, pfr = get("percept_2d"), get("percept_1d"), get("percept_front")
 
-        # value (cheat obs)
+        # value (cheat obs); the vf/hlc MLC-command encoders see percepts
+        # only — no target branch (reference sepmc_net.py:275, :131)
         v1 = jnp.tanh(self.vf_fc1(prop_rms))
-        # the MLC command for the value tower uses a zero target placeholder
-        # (the actual target_info depends on the sampled HLC action)
-        zeros_t = jnp.zeros(prop_rms.shape[:-1] + (3,), prop_rms.dtype)
-        v2 = jnp.tanh(self.vf_fc2(self.vf_mlc_cmd(p2d, p1d, pfr, zeros_t)))
+        v2 = jnp.tanh(self.vf_fc2(self.vf_mlc_cmd(p2d, p1d, pfr)))
         v3 = jnp.tanh(
             self.vf_fc3(
                 self.vf_hlc_cmd(
@@ -155,7 +153,7 @@ class SEPMCNet(nn.Module):
 
         # HLC: steering angle
         he = act(self.hlc_prop_embed(prop_rms))
-        hm = self.hlc_mlc_cmd(p2d, p1d, pfr, zeros_t)
+        hm = self.hlc_mlc_cmd(p2d, p1d, pfr)
         hc = self.hlc_cmd(
             get("percept_vec"), get("oppo_info"), get("flag_info"), get("with_flag")
         )

@@ -105,6 +105,76 @@ def test_import_llc_into_epmc_params():
 
 
 @needs_assets
+def test_epmc_import_positional_map():
+    import jax.numpy as jnp
+
+    from lifelike_tpu.models.epmc import EPMCNet
+
+    net = EPMCNet()
+    key = jax.random.PRNGKey(0)
+    obs = {
+        "prop": jnp.zeros((99,)),
+        "prop_a": jnp.zeros((36,)),
+        "percep_2d": jnp.zeros((25, 13)),
+        "percep_1d": jnp.zeros((128,)),
+        "percep_front": jnp.zeros((25, 13)),
+        "target": jnp.zeros((3,)),
+    }
+    tmpl = net.init(
+        {"params": key, "z": key}, obs, net.initial_state(()), jnp.zeros(())
+    )
+    params = TI.import_epmc(f"{MODELS}/environmental_level_hurdle.model", tmpl)
+    m = TI.load_tleague_model(f"{MODELS}/environmental_level_hurdle.model")
+    p = params["params"]
+    assert np.array_equal(p["vf_lstm"]["wx"], m.arrays[36])
+    assert np.array_equal(p["pi_lstm"]["wh"], m.arrays[80])
+    assert np.array_equal(p["z_out"]["kernel"], m.arrays[88])
+    assert np.array_equal(p["llc"]["embedding"], m.arrays[90])
+    # gradient-tied bias evidence: b, ln_x_beta, ln_h_beta near-identical
+    assert np.allclose(p["vf_lstm"]["b"], p["vf_lstm"]["ln_x_beta"], atol=1e-5)
+    assert np.array_equal(p["vf_lstm"]["ln_x_beta"], p["vf_lstm"]["ln_h_beta"])
+
+
+@needs_assets
+def test_sepmc_import_positional_map():
+    import jax.numpy as jnp
+
+    from lifelike_tpu.models.sepmc import SEPMCNet
+
+    net = SEPMCNet()
+    key = jax.random.PRNGKey(0)
+    obs = {
+        "prop": jnp.zeros((99,)),
+        "prop_a": jnp.zeros((36,)),
+        "percept_2d": jnp.zeros((25, 13)),
+        "percept_1d": jnp.zeros((128,)),
+        "percept_front": jnp.zeros((25, 13)),
+        "percept_vec": jnp.zeros((5,)),
+        "oppo_info": jnp.zeros((15,)),
+        "oppo_info_cheat": jnp.zeros((15,)),
+        "flag_info": jnp.zeros((7,)),
+        "flag_info_cheat": jnp.zeros((7,)),
+        "with_flag": jnp.zeros((2,)),
+        "control_spd": jnp.zeros((1,)),
+    }
+    tmpl = net.init(
+        {"params": key, "hlc": key, "z": key},
+        obs,
+        net.initial_state(()),
+        jnp.zeros(()),
+    )
+    params = TI.import_sepmc(f"{MODELS}/strategic_level.model", tmpl)
+    m = TI.load_tleague_model(f"{MODELS}/strategic_level.model")
+    p = params["params"]
+    assert np.array_equal(p["vf_fc1"]["kernel"], m.arrays[2])
+    assert np.array_equal(p["vf_fc4"]["kernel"], m.arrays[38])
+    assert np.array_equal(p["hlc_mu"]["kernel"], m.arrays[94])
+    assert np.array_equal(p["hlc_logvar"], m.arrays[96].reshape(-1))
+    assert np.array_equal(p["mlc_cmd"]["vec_fc"]["kernel"], m.arrays[123])
+    assert np.array_equal(p["llc"]["embedding"], m.arrays[140])
+
+
+@needs_assets
 @pytest.mark.skipif(not os.path.isdir(MOCAP), reason="mocap assets not present")
 def test_imported_pmc_tracks_better_than_random():
     from lifelike_tpu.envs import factory
@@ -135,3 +205,46 @@ def test_imported_pmc_tracks_better_than_random():
     # pretrained reference weights must clearly beat random init
     assert r_pre > 2.0 * r_rand, (r_pre, r_rand)
     assert n_pre >= 50, n_pre  # survives at least 1 s of tracking
+
+
+@needs_assets
+def test_imported_epmc_locomotes():
+    """The pretrained hurdle EPMC drives the robot forward (~1 m/s) where a
+    random-init policy stands still — validates the LSTM parametrization and
+    gate order (i,f,o,u) inferred for tpolicies' lstm_embed_block."""
+    import jax.numpy as jnp
+
+    from lifelike_tpu.envs import factory
+    from lifelike_tpu.models.epmc import EPMCNet
+
+    bundle = factory.create_playground_game(env_randomize_config={"element_id": 1})
+    net = EPMCNet()
+    key = jax.random.PRNGKey(0)
+    env_state, obs = bundle.reset(key)
+    flat = lambda o: {f: getattr(o, f) for f in o._fields}
+    hs0 = net.initial_state(())
+    p0 = net.init({"params": key, "z": key}, flat(obs), hs0, jnp.zeros(()))
+    p1 = TI.import_epmc(f"{MODELS}/environmental_level_hurdle.model", p0)
+    fwd = jax.jit(lambda p, o, h, k: net.apply(p, o, h, jnp.zeros(()), rngs={"z": k}))
+    step = jax.jit(lambda s, a, k: bundle.step(s, a, k))
+
+    def avg_spd(params, seed, steps=100):
+        k = jax.random.PRNGKey(seed)
+        env_state, obs = bundle.reset(jax.random.PRNGKey(seed))
+        hs = hs0
+        info = None
+        for _ in range(steps):
+            k, k1, k2 = jax.random.split(k, 3)
+            out = fwd(params, flat(obs), hs, k1)
+            hs = out.hs
+            env_state, obs, r, done, info = step(
+                env_state, {"A_Z": out.z_idx, "A_LLC": out.mean}, k2
+            )
+            if bool(done):
+                break
+        return float(info.ave_spd if hasattr(info, "ave_spd") else info["ave_spd"])
+
+    s_pre = avg_spd(p1, 200)
+    s_rand = avg_spd(p0, 200)
+    assert s_pre > 0.5, s_pre
+    assert s_pre > 4.0 * max(s_rand, 0.01), (s_pre, s_rand)
