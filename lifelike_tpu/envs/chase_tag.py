@@ -252,9 +252,8 @@ def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
         target_pos=s.scene.target_pos[..., None, :],
     )
     target_q = s.robots.joint_pos + a_llc
-    robots = engine.control_step(
-        model, params, s.robots, target_q, boxes.terrain_height_fn(scene_a)
-    )
+    # Full box SDF contact: arena walls and blocks push back as hard bodies.
+    robots = engine.control_step(model, params, s.robots, target_q, scene=scene_a)
 
     counter = s.counter + 1
     spd = jnp.linalg.norm(robots.base_lin_vel[..., :2], axis=-1)  # (..., 2)

@@ -11,10 +11,12 @@ and the joystick / average-speed reward families (:479-539). The action dict
 A_LLC as delta joint targets (A_Z is the EPMC net's latent choice, decoded
 upstream).
 
-Approximation notes vs Bullet: contact treats box tops as raised ground
-(feet step onto obstacles); vertical-face pushback and the auxiliary
-detection cylinders are not resolved as forces. Heading/fall/timeout/reach
-logic is exact.
+Contact runs against the full box SDF (physics.contact.sphere_boxes_force):
+feet step onto obstacle tops AND vertical faces push back, so walls and
+hurdles are impassable as in Bullet (reference
+bullet_static_entities.py:243-256 creates every element as a hard collision
+body). As in the reference, collisions do not terminate the episode —
+termination is fall/timeout/reach only (playground_env.py:360-372).
 """
 from typing import NamedTuple, Optional
 
@@ -206,9 +208,9 @@ def step(model: MaxModel, cfg: PlaygroundConfig, s: PlaygroundState, action, key
         foot_friction=s.friction[..., None], ext_force=ext_force
     )
     target_q = s.robot.joint_pos + a_llc
-    robot = engine.control_step(
-        model, params, s.robot, target_q, boxes.terrain_height_fn(s.scene)
-    )
+    # Full box SDF contact: walls and hurdle faces push back (Bullet
+    # hard-collision parity) instead of acting as raised ground only.
+    robot = engine.control_step(model, params, s.robot, target_q, scene=s.scene)
 
     # speed toward target (playground_env.py:481-489)
     diff = (target_pos - robot.base_pos)[..., :2]

@@ -26,6 +26,70 @@ class ContactParams(NamedTuple):
     mu: float = 0.5  # lateral friction; reference default foot friction 0.5
 
 
+def box_sdf(center, half, p, eps=1e-9):
+    """Signed distance + outward unit normal of points to axis-aligned boxes.
+
+    center/half: (..., 3) box parameters; p: (..., 3) query points (shapes
+    broadcast). Returns (dist (...,), normal (..., 3)): dist > 0 outside with
+    the exact closest-feature normal; dist < 0 inside with the nearest-face
+    pushout normal. This is the contact query that replaces Bullet's
+    box-vs-sphere narrowphase (reference bullet_static_entities.py boxes are
+    hard collision bodies for every robot link).
+    """
+    r = p - center
+    q = jnp.abs(r) - half
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.sqrt(jnp.sum(outside * outside, axis=-1) + eps)
+    d_in = jnp.max(q, axis=-1)  # negative inside, 0 on surface
+    inside = d_in < 0.0
+    dist = jnp.where(inside, d_in, d_out)
+
+    sign = jnp.where(r >= 0.0, 1.0, -1.0)
+    n_out = sign * outside / d_out[..., None]
+    # inside: push out through the least-penetrated face
+    face = q >= jnp.max(q, axis=-1, keepdims=True)
+    face = face / jnp.sum(face, axis=-1, keepdims=True).clip(1.0)
+    n_in = sign * face
+    normal = jnp.where(inside[..., None], n_in, n_out)
+    return dist, normal
+
+
+def _sphere_surface_force(dist, normal, vel, radius, params: ContactParams, mu):
+    """Compliant force for a sphere center at signed distance `dist` from a
+    surface with outward `normal` — shared by plane, heightmap and box paths."""
+    pen = jnp.maximum(radius - dist, 0.0)
+    in_contact = pen > 0.0
+    vn = jnp.sum(vel * normal, axis=-1)
+    fn = params.kn * pen + params.dn * jnp.maximum(-vn, 0.0) * in_contact
+    fn = jnp.maximum(fn, 0.0) * in_contact
+    vt = vel - vn[..., None] * normal
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-12)
+    coef = jnp.minimum(
+        mu * fn / jnp.sqrt(vt_norm**2 + params.v_slip**2), params.fric_visc_cap
+    )
+    return fn[..., None] * normal - coef[..., None] * vt
+
+
+def sphere_boxes_force(pos, vel, radius, center, half, active, params: ContactParams, mu):
+    """Total contact force on spheres from a masked set of AABBs.
+
+    pos/vel: (..., P, 3) sphere centers/velocities; center/half: (..., N, 3),
+    active: (..., N). Returns (..., P, 3) forces summed over boxes — vertical
+    faces push back exactly like tops, so robots cannot walk through walls or
+    hurdles (Bullet hard-collision parity,
+    reference bullet_static_entities.py:243-256).
+    """
+    dist, normal = box_sdf(
+        center[..., None, :, :], half[..., None, :, :], pos[..., :, None, :]
+    )  # (..., P, N), (..., P, N, 3)
+    mu_b = mu if jnp.ndim(mu) == 0 else jnp.asarray(mu)[..., None]
+    f = _sphere_surface_force(
+        dist, normal, vel[..., :, None, :], radius, params, mu_b
+    )
+    f = f * active[..., None, :, None]
+    return jnp.sum(f, axis=-2)
+
+
 def sphere_ground_force(pos, vel, radius, ground_height, ground_normal, params: ContactParams, mu=None):
     """Contact force on spheres of `radius` at world positions `pos`.
 

@@ -50,6 +50,7 @@ class PhysicsParams(NamedTuple):
 _LIMIT_K = 300.0  # joint-limit spring (N m / rad)
 _LIMIT_D = 2.0
 _TGT_CLIP = 3.0  # reference legged_robot.py:126
+_TRUNK_RADIUS = 0.11  # trunk collision-proxy sphere (body box ~0.36x0.22x0.12)
 
 
 def pd_torques(model, params: PhysicsParams, joint_pos, joint_vel, target_q):
@@ -83,8 +84,16 @@ def _terrain_plane(p):
     return h, n
 
 
-def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None):
-    """One 500 Hz physics substep (semi-implicit Euler)."""
+def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None,
+            scene=None):
+    """One 500 Hz physics substep (semi-implicit Euler).
+
+    scene: optional scene.boxes.BoxScene — contact then runs against the flat
+    plane PLUS per-box SDF forces (tops and vertical faces alike), replacing
+    Bullet's hard box collision (reference bullet_static_entities.py:243-256).
+    """
+    if scene is not None and terrain_fn is None:
+        terrain_fn = _terrain_plane
     terrain_fn = terrain_fn or _terrain_plane
     kin = dynamics.forward_kinematics(model, state)
     origin = state.base_pos
@@ -101,6 +110,13 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
         kin.p_foot, kin.v_foot, model.foot_radius, h, n, params.contact,
         mu=params.foot_friction,
     )
+    if scene is not None:
+        from lifelike_tpu.physics.contact import sphere_boxes_force
+
+        f_foot = f_foot + sphere_boxes_force(
+            kin.p_foot, kin.v_foot, model.foot_radius, scene.center, scene.half,
+            scene.active, params.contact, params.foot_friction,
+        )
     tb, tj = dynamics.point_force_to_generalized(kin, origin, kin.p_foot, f_foot, 2)
     tau_b = tau_b + tb
     tau_j = tau_j + tj
@@ -114,9 +130,25 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
         kin.p_wheel, v_wheel, model.wheel_radius, hw, nw, params.contact,
         mu=params.foot_friction,
     )
+    if scene is not None:
+        f_wheel = f_wheel + sphere_boxes_force(
+            kin.p_wheel, v_wheel, model.wheel_radius, scene.center, scene.half,
+            scene.active, params.contact, params.foot_friction,
+        )
     tb, tj = dynamics.point_force_to_generalized(kin, origin, kin.p_wheel, f_wheel, 1)
     tau_b = tau_b + tb
     tau_j = tau_j + tj
+
+    if scene is not None:
+        # Trunk collision proxy: one sphere at the base origin vs boxes only
+        # (the trunk never reaches the plane before a fall terminates). Acts
+        # at the base origin, so it maps to a pure base force.
+        f_base = sphere_boxes_force(
+            state.base_pos[..., None, :], state.base_lin_vel[..., None, :],
+            _TRUNK_RADIUS, scene.center, scene.half, scene.active,
+            params.contact, params.foot_friction,
+        )[..., 0, :]
+        tau_b = tau_b.at[..., 3:].add(f_base)
 
     # External disturbance force on the base (PushRandomizer parity,
     # reference push_randomizer.py:56-99): world-frame force at base origin.
@@ -149,7 +181,8 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
     )
 
 
-def control_step(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None):
+def control_step(model, params: PhysicsParams, state: RobotState, target_q, terrain_fn=None,
+                 scene=None):
     """One 50 Hz control step = `substeps` physics substeps with a held target.
 
     Mirrors reference primitive_level_env.py:202-210 (target held constant
@@ -157,12 +190,12 @@ def control_step(model, params: PhysicsParams, state: RobotState, target_q, terr
     """
 
     def body(s, _):
-        return substep(model, params, s, target_q, terrain_fn), None
+        return substep(model, params, s, target_q, terrain_fn, scene=scene), None
 
     state, _ = jax.lax.scan(body, state, None, length=params.substeps)
     return state
 
 
-def make_control_step(model, params: PhysicsParams, terrain_fn=None):
+def make_control_step(model, params: PhysicsParams, terrain_fn=None, scene=None):
     """Returns a jittable f(state, target_q) -> state closure."""
-    return partial(control_step, model, params, terrain_fn=terrain_fn)
+    return partial(control_step, model, params, terrain_fn=terrain_fn, scene=scene)

@@ -44,6 +44,65 @@ def sphere_ground_force(pos, vel, radius, h, n, cp: ContactParams, mu):
     return fn[:, None] * n - coef[:, None] * vt
 
 
+class TLScene(NamedTuple):
+    """Box scene in tile layout: one scenario broadcast over the population.
+
+    center/half: (N, 3, 1, 1); active: (N, 1, 1) — trailing singleton axes
+    broadcast against the (Bs, L) tile batch.
+    """
+
+    center: jnp.ndarray
+    half: jnp.ndarray
+    active: jnp.ndarray
+
+
+def tl_scene(scene) -> TLScene:
+    """Lift an unbatched scene.boxes.BoxScene into tile layout."""
+    return TLScene(
+        center=scene.center[..., None, None],
+        half=scene.half[..., None, None],
+        active=scene.active.astype(scene.center.dtype)[..., None, None],
+    )
+
+
+def sphere_boxes_force(pos, vel, radius, ts: TLScene, cp: ContactParams, mu):
+    """Tile-layout contact.sphere_boxes_force: per-box SDF penalty forces.
+
+    pos/vel: (P, 3, Bs, L) sphere centers; returns (P, 3, Bs, L) forces summed
+    over the N boxes. mu: scalar or (Bs, L)-broadcastable.
+    """
+    r = pos[:, None] - ts.center[None]  # (P, N, 3, Bs, L)
+    q = jnp.abs(r) - ts.half[None]
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.sqrt(jnp.sum(outside * outside, axis=2) + 1e-9)  # (P, N, Bs, L)
+    d_in = jnp.max(q, axis=2)
+    inside = d_in < 0.0
+    dist = jnp.where(inside, d_in, d_out)
+    sign = jnp.where(r >= 0.0, 1.0, -1.0)
+    face = (q >= jnp.max(q, axis=2, keepdims=True)).astype(pos.dtype)
+    face = face / jnp.sum(face, axis=2, keepdims=True).clip(1.0)
+    normal = jnp.where(
+        inside[:, :, None], sign * face, sign * outside / d_out[:, :, None]
+    )
+
+    pen = jnp.maximum(radius - dist, 0.0)
+    in_contact = pen > 0.0
+    v = vel[:, None]
+    vn = jnp.sum(v * normal, axis=2)
+    fn = cp.kn * pen + cp.dn * jnp.maximum(-vn, 0.0) * in_contact
+    fn = jnp.maximum(fn, 0.0) * in_contact
+    vt = v - vn[:, :, None] * normal
+    vt_norm2 = jnp.sum(vt * vt, axis=2)
+    coef = jnp.minimum(
+        mu * fn / jnp.sqrt(vt_norm2 + 1e-12 + cp.v_slip**2), cp.fric_visc_cap
+    )
+    f = fn[:, :, None] * normal - coef[:, :, None] * vt
+    return jnp.sum(f * ts.active[None, :, None], axis=1)
+
+
+_TRUNK_RADIUS = 0.11  # matches engine._TRUNK_RADIUS
+
+
 def pd_torques(c: TLConstants, params: PhysicsParams, joint_pos, joint_vel, target_q):
     """target_q: (4, 3, Bs, L) or broadcastable. Reference legged_robot.py:119-148."""
     tgt = jnp.clip(target_q, -_TGT_CLIP, _TGT_CLIP)
@@ -81,7 +140,7 @@ def freeze_mass(c: TLConstants, s: TLState) -> Frozen:
 
 
 def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
-            terrain_fn=None, frozen: Frozen = None):
+            terrain_fn=None, frozen: Frozen = None, scene: TLScene = None):
     """One 500 Hz step. `frozen`: optional freeze_mass output — the
     mass-matrix/Schur factorization and leg terms are then NOT rebuilt from
     the current configuration (PhysicsParams.mass_freeze fast path)."""
@@ -108,6 +167,10 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
     f_foot = sphere_ground_force(
         kin.p_foot, kin.v_foot, c.foot_radius, h, n, params.contact, mu
     )
+    if scene is not None:
+        f_foot = f_foot + sphere_boxes_force(
+            kin.p_foot, kin.v_foot, c.foot_radius, scene, params.contact, mu
+        )
     tb, tj = B.point_forces_to_generalized(
         kin, origin, kin.p_foot, f_foot, 2, S=terms.S
     )
@@ -118,11 +181,23 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
     f_wheel = sphere_ground_force(
         kin.p_wheel, kin.v_wheel, c.wheel_radius, hw, nw, params.contact, mu
     )
+    if scene is not None:
+        f_wheel = f_wheel + sphere_boxes_force(
+            kin.p_wheel, kin.v_wheel, c.wheel_radius, scene, params.contact, mu
+        )
     tb, tj = B.point_forces_to_generalized(
         kin, origin, kin.p_wheel, f_wheel, 1, S=terms.S
     )
     tau_b = tau_b + tb
     tau_j = tau_j + tj
+
+    if scene is not None:
+        # Trunk proxy sphere at the base origin vs boxes (pure base force).
+        f_base = sphere_boxes_force(
+            s.base_pos[None], s.base_lin_vel[None], _TRUNK_RADIUS, scene,
+            params.contact, mu,
+        )[0]
+        tau_b = tau_b.at[3:].add(f_base)
 
     ext = jnp.broadcast_to(
         jnp.reshape(jnp.asarray(params.ext_force, s.base_pos.dtype), (3, 1, 1)),
@@ -175,7 +250,7 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
 
 
 def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
-                 terrain_fn=None, unroll=None):
+                 terrain_fn=None, unroll=None, scene: TLScene = None):
     """One 50 Hz control step: `substeps` physics substeps with a held target.
 
     The substep scan is unrolled by default: each substep alone is ~2% of VPU
@@ -190,11 +265,12 @@ def control_step(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
         for i in range(params.substeps):
             if i % freeze == 0:
                 frozen = freeze_mass(c, s)
-            s = substep(c, params, s, target_q, terrain_fn, frozen=frozen)
+            s = substep(c, params, s, target_q, terrain_fn, frozen=frozen,
+                        scene=scene)
         return s
 
     def body(carry, _):
-        return substep(c, params, carry, target_q, terrain_fn), None
+        return substep(c, params, carry, target_q, terrain_fn, scene=scene), None
 
     s, _ = jax.lax.scan(
         body, s, None, length=params.substeps,

@@ -18,6 +18,7 @@ robots); the ground contributes height 0 through the miss path.
 """
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from lifelike_tpu.math import quat
@@ -136,12 +137,34 @@ def perception_front(scene: BoxScene, base_pos, base_orn):
     return t.reshape(t.shape[:-1] + (25, 13))
 
 
+def nearest_boxes(scene: BoxScene, pos, k):
+    """Fixed-size sub-scene of the k nearest active boxes to `pos` (3,).
+
+    MPC solves replan every 20 ms over a ~1 m reachable set, so contact only
+    needs the local boxes: gathering k << capacity keeps the per-substep SDF
+    cost O(k) without recompilation (unbatched scene; jit-safe).
+    """
+    d = jnp.abs(pos[:2] - scene.center[..., :2]) - scene.half[..., :2]
+    dist = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    dist = jnp.where(scene.active, dist, jnp.inf)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return BoxScene(
+        center=scene.center[idx],
+        half=scene.half[idx],
+        active=scene.active[idx] & jnp.isfinite(neg),
+        target_pos=scene.target_pos,
+    )
+
+
 def terrain_height_fn(scene: BoxScene):
     """Adapter for the physics engines: p (..., 3) -> (heights, normals).
 
-    Contact treats box tops as raised ground (adequate for walkover terrain;
-    vertical faces enter through the auxiliary-collision termination, as in
-    the reference where side hits end the episode)."""
+    HEIGHTMAP-ONLY contact: box tops act as raised ground; vertical faces
+    exert no force. Kept for perception-style probes and cheap walkover
+    terrain. For Bullet hard-collision parity (impassable walls/hurdle
+    faces) pass the scene itself to engine.control_step(scene=...) /
+    engine_tl (TLScene), which adds per-box SDF forces
+    (physics.contact.sphere_boxes_force)."""
 
     def fn(p):
         # p: (..., 4, 3) contact points; the leg axis doubles as the P axis.

@@ -86,6 +86,21 @@ def precompute_reference(model, clips, clip_idx, t0, horizon, policy_dt) -> RefT
     )
 
 
+def fall_mask_tl(s: B.TLState):
+    """Reference check_terminate (legged_robot.py:158-179) as masked arithmetic
+    in tile layout: roll > 45 deg or pitch > 60 deg. Returns bool (Bs, L)."""
+    m = quat_tl.to_matrix(s.base_orn)
+    fwd, up = m[:, 0], m[:, 2]
+    left_z = up[0] * fwd[1] - up[1] * fwd[0]
+    return (jnp.abs(left_z) > jnp.sin(jnp.pi / 4)) | (up[2] < jnp.cos(jnp.pi / 3))
+
+
+def yaw_tl(q):
+    """Base yaw from a tile-layout quaternion (4, Bs, L) -> (Bs, L)."""
+    m = quat_tl.to_matrix(q)
+    return jnp.arctan2(m[1, 0], m[0, 0])
+
+
 def tracking_cost_step(s: B.TLState, foot_pos, ref_t, weights: TrackingWeights):
     """1 - tracking_reward in tile layout; ref_t = RefTraj sliced at one step."""
     w = jnp.asarray(weights, dtype=s.base_pos.dtype)
@@ -106,11 +121,7 @@ def tracking_cost_step(s: B.TLState, foot_pos, ref_t, weights: TrackingWeights):
     cost = 1.0 - reward
 
     # fall / divergence penalties as masked arithmetic (no branches)
-    up_z = 1.0 - 2.0 * (s.base_orn[0] ** 2 + s.base_orn[1] ** 2)  # R[2,2]
-    m = quat_tl.to_matrix(s.base_orn)
-    fwd, up = m[:, 0], m[:, 2]
-    left_z = up[0] * fwd[1] - up[1] * fwd[0]
-    fall = (jnp.abs(left_z) > jnp.sin(jnp.pi / 4)) | (up[2] < jnp.cos(jnp.pi / 3))
+    fall = fall_mask_tl(s)
     pos_err = jnp.sum((s.base_pos - ref_t.base_pos) ** 2, axis=0)
     diverged = (pos_err > 1.0) | (angle > 1.0)
     return cost + 5.0 * (fall | diverged).astype(cost.dtype)
