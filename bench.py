@@ -1,10 +1,20 @@
 """Benchmark: batched H=50 MPC solve latency on the available accelerator.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} —
+the headline PMC tracking solve (BASELINE.json config 1/2). With BENCH_ALL=1
+it prints one line per row of the full matrix:
 
-Measures one full MPPI solve — population BENCH_POP rollouts of BENCH_HORIZON
-control steps x BENCH_SUBSTEPS physics substeps through the tile-layout
-dynamics (lifelike_tpu.physics.batched), tracking a mocap-style reference.
+  pmc          tracking solve, real mocap clip, sampling physics
+               (mass_freeze=substeps — mass/Schur refactored once per control
+               step; fidelity vs exact <=1e-2 rad transient, see
+               tests/test_batched_layout.py::test_mass_freeze_fidelity)
+  pmc_exact    same with mass_freeze=1 (exact per-substep factorization)
+  pmc_rate     solves/s/chip derived from the headline latency
+  epmc         terrain-traversal solve on a randomized hurdle scene with box
+               SDF contact (BASELINE.json config 3)
+  sepmc        two-robot Chase-Tag alternating-best-response solve in the V4
+               arena (BASELINE.json config 4); per-robot population pop/2
+
 The north-star target (BASELINE.md) is >=4096 parallel H=50 rollouts per MPC
 solve at <10 ms p50 on TPU; vs_baseline = target_ms / measured_ms, so values
 > 1.0 beat the target.
@@ -26,41 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+REAL_CLIP = "/root/reference/data/mocap_data/dog_quad_walkrun_001_ret.txt"
+TARGET_MS = 10.0
 
-def main():
-    pop = int(os.environ.get("BENCH_POP", 4096))
-    horizon = int(os.environ.get("BENCH_HORIZON", 50))
-    substeps = int(os.environ.get("BENCH_SUBSTEPS", 10))
-    reps = int(os.environ.get("BENCH_REPS", 5))
-    m_hi = int(os.environ.get("BENCH_M", 8))
-    # MPPI-sampling physics config: refactor mass/Schur once per control
-    # step (fidelity vs exact: <=1e-2 rad transient, ~1e-4 rad settled over
-    # 1 s — see tests/test_batched_layout.py). BENCH_MASS_FREEZE=1 for exact.
-    mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
-    # 1 = single-kernel Pallas rollout (ops.rollout_pallas); 0 = XLA scan.
-    # The fused kernel needs the tile layout's lane dim full (pop % 128 == 0);
-    # small probe sizes fall back to the XLA-scan path automatically.
-    fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and pop % 128 == 0
-    bs_tile = int(os.environ.get("BENCH_TILE", 0)) or None  # kernel sublane tile
 
-    from lifelike_tpu.motion import motion_lib
-    from lifelike_tpu.physics import batched as B
-    from lifelike_tpu.physics import engine
-    from lifelike_tpu.physics.dynamics import RobotState
-    from lifelike_tpu.robot.model import build_max_model
-    from lifelike_tpu.solver import mppi, mppi_tl, rollout_tl
-
-    model = build_max_model()
-    clips = motion_lib.pack_clips(
-        [motion_lib.make_synthetic_clip(int(120 * (horizon / 50.0 + 3)))],
-        frame_step=1.0 / 120.0,
-    )
-    params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
-    cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
-    c = B.tl_constants(model, dtype=jnp.float32)
-
+def _stand_state():
     stand = jnp.asarray([-0.028, -0.779, 1.687] * 4, jnp.float32)
-    state = RobotState(
+    from lifelike_tpu.physics.dynamics import RobotState
+
+    return RobotState(
         base_pos=jnp.array([0.0, 0.0, 0.33], jnp.float32),
         base_orn=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
         base_lin_vel=jnp.zeros(3, jnp.float32),
@@ -68,7 +52,47 @@ def main():
         joint_pos=stand,
         joint_vel=jnp.zeros(12, jnp.float32),
     )
-    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
+
+
+def _slope_ms(make_chained, args, reps, m_hi):
+    """Per-solve latency via the chained-M slope (RTT excluded)."""
+
+    def wall_ms(f):
+        r = f(*args)
+        np.asarray(jax.tree.leaves(r)[0])  # warmup + true sync (host fetch)
+        ts = []
+        for _ in range(reps):
+            t_s = time.perf_counter()
+            r = f(*args)
+            np.asarray(jax.tree.leaves(r)[0])
+            ts.append(time.perf_counter() - t_s)
+        return float(np.min(ts) * 1e3)
+
+    w1 = wall_ms(make_chained(1))
+    wM = wall_ms(make_chained(m_hi))
+    return (wM - w1) / (m_hi - 1)
+
+
+def bench_pmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile):
+    from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.solver import mppi, mppi_tl, rollout_tl
+
+    model = build_max_model()
+    real = os.path.exists(REAL_CLIP) and not int(os.environ.get("BENCH_SYN", 0))
+    if real:
+        clips = motion_lib.load_clips(REAL_CLIP)
+    else:
+        clips = motion_lib.pack_clips(
+            [motion_lib.make_synthetic_clip(int(120 * (horizon / 50.0 + 3)))],
+            frame_step=1.0 / 120.0,
+        )
+    params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
+    cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
+    c = B.tl_constants(model, dtype=jnp.float32)
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], _stand_state()))
     policy_dt = params.dt * params.substeps
 
     if fused:
@@ -77,8 +101,6 @@ def main():
         sm = scalar_phys.build_scalar_model(model)
 
     def chained(M):
-        """M receding-horizon MPPI solves, each warm-started from the last."""
-
         @jax.jit
         def f(key, tl_state, u_warm, t0):
             def body(uw, i):
@@ -104,36 +126,176 @@ def main():
 
         return f
 
-    key = jax.random.PRNGKey(0)
-    u = jnp.zeros((horizon, 4, 3), jnp.float32)
-    t0 = jnp.asarray(0.0, jnp.float32)
-
-    def wall_ms(f):
-        r, _ = f(key, tl, u, t0)
-        np.asarray(r)  # warmup + true sync (host fetch)
-        ts = []
-        for _ in range(reps):
-            t_s = time.perf_counter()
-            r, _ = f(key, tl, u, t0)
-            np.asarray(r)  # host fetch forces real completion
-            ts.append(time.perf_counter() - t_s)
-        return float(np.min(ts) * 1e3)
-
-    w1 = wall_ms(chained(1))
-    wM = wall_ms(chained(m_hi))
-    per_solve_ms = (wM - w1) / (m_hi - 1)
-
-    target_ms = 10.0
-    print(
-        json.dumps(
-            {
-                "metric": f"mpc_solve_latency_pop{pop}_H{horizon}_sub{substeps}",
-                "value": round(per_solve_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(target_ms / per_solve_ms, 4),
-            }
-        )
+    args = (
+        jax.random.PRNGKey(0),
+        tl,
+        jnp.zeros((horizon, 4, 3), jnp.float32),
+        jnp.asarray(0.5, jnp.float32),
     )
+    ms = _slope_ms(chained, args, reps, m_hi)
+    tag = "" if real else "_syn"
+    return f"mpc_solve_latency_pop{pop}_H{horizon}_sub{substeps}{tag}", ms
+
+
+def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16):
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine, engine_tl
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.scene import boxes, playground_gen
+    from lifelike_tpu.solver import mppi, mppi_tl, rollout_tasks
+
+    model = build_max_model()
+    params = engine.PhysicsParams(
+        kd=1.0, max_tau=16.0, substeps=substeps, mass_freeze=mass_freeze
+    )
+    cfg = mppi.MPPIConfig(
+        horizon=horizon, population=pop, iterations=1, sigma=0.15
+    )
+    c = B.tl_constants(model, dtype=jnp.float32)
+    state = _stand_state()
+    scene = playground_gen.generate(
+        jax.random.PRNGKey(3), playground_gen.PlaygroundConfig(element_id=1)
+    )
+    sub = boxes.nearest_boxes(scene, state.base_pos, contact_k)
+    ts = engine_tl.tl_scene(sub)
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
+    tgt = scene.target_pos
+
+    def chained(M):
+        @jax.jit
+        def f(key, tl_state, u_warm):
+            def body(uw, i):
+                k = jax.random.fold_in(key, i)
+
+                def rollout_fn(state_k, u_cand):
+                    cost, _ = rollout_tasks.rollout_traversal(
+                        c, params, state_k, u_cand, ts, tgt, 1.5, "joystick"
+                    )
+                    return cost
+
+                u_opt, diag = mppi_tl.mppi_step(
+                    c, params, cfg, k, tl_state, uw, ref=None,
+                    rollout_fn=rollout_fn,
+                )
+                return u_opt, diag["best_cost"]
+
+            u_fin, costs = jax.lax.scan(body, u_warm, jnp.arange(M))
+            return u_fin, costs
+
+        return f
+
+    args = (jax.random.PRNGKey(0), tl, jnp.zeros((horizon, 4, 3), jnp.float32))
+    ms = _slope_ms(chained, args, reps, m_hi)
+    return f"epmc_solve_latency_pop{pop}_H{horizon}_k{contact_k}", ms
+
+
+def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze):
+    """One alternating-best-response round = 2 MPPI solves (pop/2 each) +
+    2 opponent plan rollouts, arena scene contact."""
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine, engine_tl
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.scene import arena_gen
+    from lifelike_tpu.solver import mppi, mppi_tl, rollout_tasks
+
+    model = build_max_model()
+    params = engine.PhysicsParams(
+        kd=1.0, max_tau=16.0, substeps=substeps, mass_freeze=mass_freeze
+    )
+    pop_r = max(pop // 2, 128)
+    cfg = mppi.MPPIConfig(
+        horizon=horizon, population=pop_r, iterations=1, sigma=0.15
+    )
+    c = B.tl_constants(model, dtype=jnp.float32)
+    scene = arena_gen.generate(jax.random.PRNGKey(1), arena_gen.ArenaConfig())
+    ts = engine_tl.tl_scene(scene)
+    s0 = _stand_state()
+    states = [
+        B.tl_from_state(jax.tree.map(
+            lambda x: x[None], s0._replace(
+                base_pos=jnp.asarray([dx, 0.0, 0.33], jnp.float32))
+        ))
+        for dx in (-1.0, 1.0)
+    ]
+    flag = jnp.asarray([0.0, 2.0, 0.25], jnp.float32)
+
+    def chained(M):
+        @jax.jit
+        def f(key, u0, u1):
+            def body(carry, i):
+                ua, ub = carry
+                k = jax.random.fold_in(key, i)
+                cost = 0.0
+                u = [ua, ub]
+                for r in (0, 1):
+                    opp = rollout_tasks.rollout_plan(
+                        c, params, states[1 - r], u[1 - r], ts
+                    )
+
+                    def rollout_fn(state_k, u_cand, opp=opp, r=r):
+                        cc, _ = rollout_tasks.rollout_chase(
+                            c, params, state_k, u_cand, ts, opp, flag, r == 0
+                        )
+                        return cc
+
+                    u[r], diag = mppi_tl.mppi_step(
+                        c, params, cfg, jax.random.fold_in(k, r), states[r],
+                        u[r], ref=None, rollout_fn=rollout_fn,
+                    )
+                    cost = cost + diag["best_cost"]
+                return (u[0], u[1]), cost
+
+            (ua, ub), costs = jax.lax.scan(body, (u0, u1), jnp.arange(M))
+            return ua, costs
+
+        return f
+
+    z = jnp.zeros((horizon, 4, 3), jnp.float32)
+    ms = _slope_ms(chained, (jax.random.PRNGKey(0), z, z), reps, m_hi)
+    return f"sepmc_br_solve_latency_pop2x{pop_r}_H{horizon}", ms
+
+
+def main():
+    pop = int(os.environ.get("BENCH_POP", 4096))
+    horizon = int(os.environ.get("BENCH_HORIZON", 50))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 10))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    m_hi = int(os.environ.get("BENCH_M", 8))
+    mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
+    fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and pop % 128 == 0
+    bs_tile = int(os.environ.get("BENCH_TILE", 0)) or None
+    all_rows = bool(int(os.environ.get("BENCH_ALL", 0)))
+
+    def emit(metric, ms):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(TARGET_MS / ms, 4),
+        }), flush=True)
+        return ms
+
+    name, ms = bench_pmc(
+        pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile
+    )
+    emit(name, ms)
+    if not all_rows:
+        return
+
+    print(json.dumps({
+        "metric": f"pmc_solve_rate_pop{pop}_H{horizon}",
+        "value": round(1000.0 / ms, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(TARGET_MS / ms, 4),
+    }), flush=True)
+    name, ms_x = bench_pmc(
+        pop, horizon, substeps, reps, m_hi, 1, fused, bs_tile
+    )
+    emit(name + "_exact", ms_x)
+    name, ms_e = bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
+    emit(name, ms_e)
+    name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
+    emit(name, ms_s)
 
 
 if __name__ == "__main__":

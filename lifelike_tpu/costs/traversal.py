@@ -16,16 +16,30 @@ from lifelike_tpu.scene import boxes
 
 
 class TraversalWeights(NamedTuple):
-    velocity: float = 1.0
+    """fall/clearance are penalty weights; velocity/heading weight DENSE
+    shaping terms (|speed - target| and 1 - heading alignment) that give the
+    solver a nonzero gradient everywhere — the parity reward terms are
+    near-flat over an MPC horizon (exp products saturate), so with shaping
+    off (velocity=heading=0) the cost is exactly the negated env reward."""
+
+    velocity: float = 0.3
     heading: float = 1.0
     clearance: float = 0.5
     fall: float = 5.0
 
 
+def _dense_shaping(spd, align, target_spd, weights):
+    return (
+        weights.velocity * jnp.abs(spd - target_spd) / (1.0 + target_spd)
+        + weights.heading * (1.0 - align)
+    )
+
+
 def joystick_cost(
     state: RobotState, target_pos, target_spd, weights=TraversalWeights()
 ):
-    """1 - reward_vel * reward_rotation (joystick family, :479-502)."""
+    """1 - reward_vel * reward_rotation (joystick family, :479-502),
+    plus dense shaping (see TraversalWeights)."""
     diff = (target_pos - state.base_pos)[..., :2]
     d = jnp.linalg.norm(diff, axis=-1).clip(1e-8)
     dir_w = diff / d[..., None]
@@ -35,10 +49,9 @@ def joystick_cost(
     )
     r_vel = jnp.exp(-jnp.abs(spd - target_spd))
     yaw = quat.yaw(state.base_orn)
-    r_rot = jnp.exp(
-        (jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1] - 1.0) * 5.0
-    )
-    cost = 1.0 - r_vel * r_rot
+    align = jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1]
+    r_rot = jnp.exp((align - 1.0) * 5.0)
+    cost = 1.0 - r_vel * r_rot + _dense_shaping(spd, align, target_spd, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)
 

@@ -1,0 +1,114 @@
+"""MPC controllers for the EPMC (terrain traversal) and SEPMC (Chase Tag)
+tasks: receding-horizon MPPI over the tile-layout rollouts of rollout_tasks.
+
+These are the trajectory-optimization counterparts of the reference's
+learned EPMC/SEPMC policies: the same tasks — traverse randomized obstacle
+courses toward a joystick/course target (reference
+max_game_elements/playground_env.py), or play two-robot Chase Tag in the V4
+arena (reference max_game/chase_tag_game_env.py:640-697) — solved online by
+sampling-based optimization over the batched on-device dynamics instead of a
+policy network. The Chase-Tag solver couples the two robots by ALTERNATING
+BEST RESPONSE: each robot optimizes against the opponent's current plan
+trajectory, re-rolled (hoisted once per solve) between turns.
+"""
+import jax
+import jax.numpy as jnp
+
+from lifelike_tpu.physics import batched as B
+from lifelike_tpu.physics import engine_tl
+from lifelike_tpu.scene import boxes
+from lifelike_tpu.solver import mppi_tl, rollout_tasks
+from lifelike_tpu.solver.mppi import MPPIConfig
+
+CONTACT_K = 16  # nearest-box prune for playground scenes (capacity 48)
+
+
+def _tl_single(robot_state):
+    """Unbatched RobotState -> TLState with batch (1, 1)."""
+    return B.tl_from_state(jax.tree.map(lambda x: x[None], robot_state))
+
+
+def make_traversal_controller(model, c, params, cfg: MPPIConfig,
+                              reward_type="joystick", max_steps=1000,
+                              contact_k=CONTACT_K):
+    """Jitted EPMC MPC: f(key, robot_state, scene, target_pos, target_spd,
+    u_warm (H,4,3)) -> (target_q_exec (12,), u_warm', diag).
+
+    The executed control is an absolute joint target (initial pose + delta);
+    envs.playground consumes `target_q_exec - robot.joint_pos` as A_LLC.
+    """
+
+    @jax.jit
+    def controller(key, robot_state, scene, target_pos, target_spd, u_warm):
+        sub = boxes.nearest_boxes(scene, robot_state.base_pos, contact_k)
+        ts = engine_tl.tl_scene(sub)
+        tl = _tl_single(robot_state)
+
+        def rollout_fn(state_k, u_cand):
+            cost, _ = rollout_tasks.rollout_traversal(
+                c, params, state_k, u_cand, ts, target_pos, target_spd,
+                reward_type, max_steps,
+            )
+            return cost
+
+        u_opt, diag = mppi_tl.mppi_step(
+            c, params, cfg, key, tl, u_warm, ref=None, rollout_fn=rollout_fn
+        )
+        q0 = robot_state.joint_pos.reshape(4, 3)
+        u_exec = (q0 + u_opt[0]).reshape(12)
+        u_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+        return u_exec, u_next, diag
+
+    return controller
+
+
+def make_chase_solver(model, c, params, cfg: MPPIConfig, n_best_response=2):
+    """Jitted SEPMC MPC for BOTH robots by alternating best response.
+
+    f(key, robots (RobotState, agent axis 2 leading), scene, flag_pos,
+    with_flag (2,) bool, u_warm (2, H, 4, 3)) ->
+    (target_q_exec (2, 12), u_warm' (2, H, 4, 3), diag).
+
+    with_flag[i] True = robot i is the chaser (reference
+    chase_tag_game_env.py:640-652 role convention). Arena scenes are small
+    (capacity 12), so no contact pruning is applied.
+    """
+
+    @jax.jit
+    def solve(key, robots, scene, flag_pos, with_flag, u_warm):
+        ts = engine_tl.tl_scene(scene)
+        states = [
+            _tl_single(jax.tree.map(lambda x, i=i: x[i], robots))
+            for i in (0, 1)
+        ]
+        u = [u_warm[0], u_warm[1]]
+        diag = {}
+        for _ in range(n_best_response):
+            for i in (0, 1):
+                j = 1 - i
+                opp_traj = rollout_tasks.rollout_plan(
+                    c, params, states[j], u[j], ts
+                )
+
+                def rollout_fn(state_k, u_cand, opp=opp_traj, role=with_flag[i]):
+                    cost, _ = rollout_tasks.rollout_chase(
+                        c, params, state_k, u_cand, ts, opp, flag_pos, role
+                    )
+                    return cost
+
+                key, k = jax.random.split(key)
+                u[i], diag = mppi_tl.mppi_step(
+                    c, params, cfg, k, states[i], u[i], ref=None,
+                    rollout_fn=rollout_fn,
+                )
+
+        q0 = robots.joint_pos.reshape(2, 4, 3)
+        u_exec = jnp.stack([
+            (q0[i] + u[i][0]).reshape(12) for i in (0, 1)
+        ])
+        u_next = jnp.stack([
+            jnp.concatenate([u[i][1:], u[i][-1:]], axis=0) for i in (0, 1)
+        ])
+        return u_exec, u_next, diag
+
+    return solve
