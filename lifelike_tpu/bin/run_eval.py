@@ -23,13 +23,31 @@ flags.DEFINE_bool("cpu", False, "force CPU backend")
 flags.DEFINE_string("dump", "", "write eval trajectories to this .npz")
 
 
+def _load_params(path, template_params, tleague_importer):
+    """Checkpoint dispatch: a ``.model`` suffix suggests a reference TLeague
+    pickle, but a native ModelPool file may carry the same name — so when the
+    TLeague import rejects the payload (wrong variable count / shapes /
+    blocked globals), fall back to the native loader instead of failing."""
+    from lifelike_tpu.learning import registry
+
+    if path.endswith(".model"):
+        try:
+            params = tleague_importer(path, template_params)
+            logging.info("imported reference checkpoint %s", path)
+            return params
+        except Exception as e:  # not a TLeague checkpoint after all
+            logging.warning(
+                "TLeague import of %s failed (%s); trying native ModelPool",
+                path, e,
+            )
+    return registry.ModelPool().load_file("eval", path)
+
+
 def main(argv):
     del argv
     if FLAGS.cpu:
         jax.config.update("jax_platforms", "cpu")
     from lifelike_tpu.envs import factory
-    from lifelike_tpu.learning import registry
-
     from lifelike_tpu.utils.trajectory import TrajectoryDump
 
     env_config = ast.literal_eval(FLAGS.env_config) if FLAGS.env_config else {}
@@ -44,14 +62,12 @@ def main(argv):
         net = PMCNet()
         env_state, obs = bundle.reset(key)
         params = net.init(key, obs.prop, obs.prop_a, obs.future)
-        if FLAGS.model_path.endswith(".model"):
-            # reference TLeague checkpoint (data/models/primitive_level.model)
+        if FLAGS.model_path:
             from lifelike_tpu.compat import tleague_import
 
-            params = tleague_import.import_pmc(FLAGS.model_path, params)
-            logging.info("imported reference checkpoint %s", FLAGS.model_path)
-        elif FLAGS.model_path:
-            params = registry.ModelPool().load_file("eval", FLAGS.model_path)
+            params = _load_params(
+                FLAGS.model_path, params, tleague_import.import_pmc
+            )
         fwd = jax.jit(lambda p, o: net.apply(p, o.prop, o.prop_a, o.future))
         step = jax.jit(lambda s, a: bundle.step(s, a))
 
@@ -83,13 +99,12 @@ def main(argv):
         hs = net.initial_state(())
         params = net.init({"params": key, "z": key}, obs._asdict(), hs,
                           jnp.zeros(()))
-        if FLAGS.model_path.endswith(".model"):
+        if FLAGS.model_path:
             from lifelike_tpu.compat import tleague_import
 
-            params = tleague_import.import_epmc(FLAGS.model_path, params)
-            logging.info("imported reference checkpoint %s", FLAGS.model_path)
-        elif FLAGS.model_path:
-            params = registry.ModelPool().load_file("eval", FLAGS.model_path)
+            params = _load_params(
+                FLAGS.model_path, params, tleague_import.import_epmc
+            )
         fwd = jax.jit(
             lambda p, o, h, k: net.apply(p, o._asdict(), h, jnp.zeros(()),
                                          rngs={"z": k})
@@ -127,13 +142,12 @@ def main(argv):
             {"params": key, "hlc": key, "z": key},
             flat(obs), hs, jnp.zeros(2),
         )
-        if FLAGS.model_path.endswith(".model"):
+        if FLAGS.model_path:
             from lifelike_tpu.compat import tleague_import
 
-            params = tleague_import.import_sepmc(FLAGS.model_path, params)
-            logging.info("imported reference checkpoint %s", FLAGS.model_path)
-        elif FLAGS.model_path:
-            params = registry.ModelPool().load_file("eval", FLAGS.model_path)
+            params = _load_params(
+                FLAGS.model_path, params, tleague_import.import_sepmc
+            )
         fwd = jax.jit(
             lambda p, o, h, k1, k2: net.apply(
                 p, o, h, jnp.zeros(2), rngs={"hlc": k1, "z": k2}

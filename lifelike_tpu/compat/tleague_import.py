@@ -75,6 +75,30 @@ class _StubMeta(type):
 
 _STUB_CACHE = {}
 
+# The only non-stubbed globals a TLeague ``Model`` pickle legitimately needs:
+# numpy/joblib array reconstruction plus a couple of stdlib containers. The
+# ``.model`` files come from an UNTRUSTED source, so anything outside this
+# allowlist (and the tleague-family stubs) raises instead of importing —
+# default ``find_class`` would happily resolve e.g. ``os.system``.
+_ALLOWED_GLOBALS = frozenset(
+    {
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy._core.numeric", "_frombuffer"),
+        ("joblib.numpy_pickle", "NumpyArrayWrapper"),
+        ("joblib.numpy_pickle", "NDArrayWrapper"),
+        ("joblib.numpy_pickle", "ZNDArrayWrapper"),
+        ("collections", "OrderedDict"),
+        ("builtins", "bytearray"),
+        ("copyreg", "_reconstructor"),
+    }
+)
+
 
 def _stub_find_class(module, name):
     """Resolve tleague/tpolicies globals to on-demand stub classes, or None."""
@@ -90,10 +114,33 @@ def _stub_find_class(module, name):
     return cls
 
 
+def _safe_getattr(obj, name, *default):
+    """getattr restricted to non-dunder names — pickle needs it to resolve
+    nested stub attributes, but unrestricted it is a gadget (``__class__``/
+    ``__subclasses__`` chains)."""
+    if name.startswith("__"):
+        raise pickle.UnpicklingError(f"blocked dunder getattr({name!r})")
+    return getattr(obj, name, *default)
+
+
+def _check_allowed(module, name):
+    if module == "builtins" and name == "getattr":
+        return _safe_getattr
+    if (module, name.split(".")[0]) not in _ALLOWED_GLOBALS:
+        raise pickle.UnpicklingError(
+            f"blocked global {module}.{name} in untrusted .model file "
+            f"(allowlist: numpy/joblib array reconstruction only)"
+        )
+    return None
+
+
 class _TLeagueUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         stub = _stub_find_class(module, name)
-        return stub if stub is not None else super().find_class(module, name)
+        if stub is not None:
+            return stub
+        override = _check_allowed(module, name)
+        return override if override is not None else super().find_class(module, name)
 
 
 def _load_joblib_stubbed(path: str):
@@ -105,9 +152,12 @@ def _load_joblib_stubbed(path: str):
 
     def _find_class(self, module, name):
         stub = _stub_find_class(module, name)
+        if stub is not None:
+            return stub
+        override = _check_allowed(module, name)
         return (
-            stub
-            if stub is not None
+            override
+            if override is not None
             else _jnp.NumpyUnpickler.find_class(self, module, name)
         )
 
@@ -412,11 +462,33 @@ _LLC_TAIL = [
 
 def extract_frozen_llc(source) -> dict:
     """LLC (codebook + decoder) subtree from any of the five checkpoints,
-    as a dict matching the ``llc`` module scope of PMCNet/EPMCNet/SEPMCNet."""
+    as a dict matching the ``llc`` module scope of PMCNet/EPMCNet/SEPMCNet.
+
+    All three checkpoint families place the LLC at the tail of the flat
+    variable list (PMC: indices 16..27 == the last 12 of 28), so
+    ``arrays[-12:]`` is correct for each — but only for genuine checkpoints,
+    so the list length is validated against the three known layouts and
+    every extracted tail shape is checked against the LLC architecture."""
     arrays = _as_arrays(source)
-    tail = arrays[-len(_LLC_TAIL):] if len(arrays) != PMC_NUM_VARS else [
-        arrays[i] for i in (16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27)
+    known = {PMC_NUM_VARS, EPMC_NUM_VARS, SEPMC_NUM_VARS}
+    if len(arrays) not in known:
+        raise ValueError(
+            f"unrecognized checkpoint: {len(arrays)} variables "
+            f"(expected one of {sorted(known)} for PMC/EPMC/SEPMC)"
+        )
+    tail = arrays[-len(_LLC_TAIL):]
+    # decoder architecture shapes (z 32, codebook 256, prop 135 -> 64, 2x256)
+    expect = [
+        (32, 256), (135, 64), (64,), (32, 32), (32,),
+        (96, 256), (256,), (256, 256), (256,),
+        (256, 12), (12,), None,  # logstd arrives as (1, 12) or (12,)
     ]
+    for path, a, shp in zip(_LLC_TAIL, tail, expect):
+        if shp is not None and tuple(np.shape(a)) != shp:
+            raise ValueError(
+                f"LLC tail mismatch at {'/'.join(path)}: "
+                f"{np.shape(a)} != {shp} — not a reference checkpoint"
+            )
     out = {}
     for (path, a) in zip(_LLC_TAIL, tail):
         node = out
@@ -426,8 +498,6 @@ def extract_frozen_llc(source) -> dict:
         if path[-1] == "logstd" and v.ndim > 1:
             v = v.reshape(v.shape[-1])
         node[path[-1]] = v
-    if out["embedding"].shape != (32, 256):
-        raise ValueError(f"codebook shape {out['embedding'].shape} != (32, 256)")
     return out
 
 

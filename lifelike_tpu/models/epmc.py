@@ -78,7 +78,11 @@ class LayerNormLSTMCell(nn.Module):
 
     features: int
     forget_bias: float = 1.0
-    ln_eps: float = 1e-12  # tf.contrib.layers.layer_norm default
+    # Inferred, not evidenced by the checkpoints (beta/gamma ties cannot pin
+    # it): tf.contrib.layers.layer_norm defaults to 1e-12, the baselines
+    # lnlstm lineage uses 1e-5. Numerically negligible except at zero
+    # variance; we keep the tf.contrib value.
+    ln_eps: float = 1e-12
 
     def _ln(self, v, name):
         gamma = self.param(f"{name}_gamma", nn.initializers.ones, (v.shape[-1],))

@@ -248,3 +248,34 @@ def test_imported_epmc_locomotes():
     s_rand = avg_spd(p0, 200)
     assert s_pre > 0.5, s_pre
     assert s_pre > 4.0 * max(s_rand, 0.01), (s_pre, s_rand)
+
+
+def test_unpickler_blocks_malicious_globals(tmp_path):
+    """The .model files are untrusted content: a pickle that REDUCEs through
+    os.system (or any non-allowlisted global) must raise, not execute."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned",))
+
+    bad = tmp_path / "evil.model"
+    bad.write_bytes(pickle.dumps({"model": Evil()}))
+    with pytest.raises(Exception) as ei:
+        TI.load_tleague_model(str(bad))
+    assert "blocked" in str(ei.value) or "Unpickling" in type(ei.value).__name__
+
+    class DunderChain:
+        def __reduce__(self):
+            return (getattr, (int, "__class__"),)
+
+    bad2 = tmp_path / "dunder.model"
+    bad2.write_bytes(pickle.dumps({"model": DunderChain()}))
+    with pytest.raises(Exception):
+        TI.load_tleague_model(str(bad2))
+
+
+def test_extract_frozen_llc_rejects_foreign_lengths():
+    """A truncated/foreign array list must not silently yield a wrong LLC."""
+    with pytest.raises(ValueError):
+        TI.extract_frozen_llc([np.zeros((32, 256))] * 30)
