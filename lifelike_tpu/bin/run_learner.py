@@ -48,6 +48,25 @@ def _cfgd(s):
     return ast.literal_eval(s) if s else {}
 
 
+def _fit_burn_in(cfg):
+    """Shrink burn_in when the unroll is too short for a full burn-in window
+    (smoke runs with tiny unrolls); full-scale runs keep the reference 12."""
+    if cfg.unroll_length < cfg.rollout_length:
+        logging.warning("rollout_length %d > unroll_length %d; shrinking",
+                        cfg.rollout_length, cfg.unroll_length)
+        cfg = cfg._replace(rollout_length=cfg.unroll_length)
+    window = cfg.burn_in + cfg.rollout_length
+    if cfg.unroll_length < window:
+        fit = max(0, cfg.unroll_length - cfg.rollout_length)
+        logging.warning(
+            "unroll_length %d < burn_in %d + rollout_length %d; "
+            "shrinking burn_in to %d",
+            cfg.unroll_length, cfg.burn_in, cfg.rollout_length, fit,
+        )
+        cfg = cfg._replace(burn_in=fit)
+    return cfg
+
+
 def _make_ckpt(registry):
     if not FLAGS.train_checkpoint:
         return None
@@ -101,6 +120,7 @@ def main(argv):
 
     if FLAGS.task == "pmc":
         from lifelike_tpu.models.pmc import PMCConfig, PMCNet
+        from lifelike_tpu.motion import motion_lib
 
         env_config.setdefault("data_path", "/root/reference/data/mocap_data")
         bundle = factory.create_tracking_game(**env_config)
@@ -110,12 +130,16 @@ def main(argv):
         env_state, obs = bundle.reset(key, batch=(B,))
         params = net.init(key, obs.prop, obs.prop_a, obs.future)
         opt_state = optimizer.init(params)
+        # prioritized clip resampling p ~ (1 - avg_reward)^factor (reference
+        # primitive_level_env.py:236-240): probs updated host-side from the
+        # per-clip episode stats the learner step accumulates on device
+        sampler = motion_lib.PrioritizedClipSampler(bundle.clips.num_clips)
 
         @jax.jit
-        def train(params, opt_state, env_state, key):
+        def train(params, opt_state, env_state, key, clip_probs):
             return learner.learner_step(
                 net, bundle.model, bundle.clips, bundle.cfg, cfg, optimizer,
-                params, opt_state, env_state, key,
+                params, opt_state, env_state, key, clip_probs=clip_probs,
             )
 
         ckpt = _make_ckpt(registry)
@@ -129,7 +153,10 @@ def main(argv):
             key, k = jax.random.split(key)
             t0 = time.time()
             params, opt_state, env_state, metrics = train(
-                params, opt_state, env_state, k
+                params, opt_state, env_state, k, sampler.probabilities
+            )
+            sampler.update_sums(
+                metrics.pop("clip_reward_sum"), metrics.pop("clip_ep_count")
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
@@ -159,33 +186,40 @@ def main(argv):
             optimizer = learner.make_optimizer(cfg)
         opt_state = optimizer.init(params)
         prev_done = jnp.zeros(B, bool)
+        cfg = _fit_burn_in(cfg)
+        replay = recurrent.recurrent_replay_init(
+            cfg, recurrent.rollout_example(cfg, obs, hs)
+        )
 
         @jax.jit
-        def train(params, opt_state, env_state, obs, hs, prev_done, key):
-            return recurrent.epmc_learner_step(
+        def train(params, opt_state, env_state, obs, hs, prev_done, replay,
+                  key):
+            return recurrent.epmc_learner_step_replayed(
                 net, bundle, cfg, optimizer,
-                params, opt_state, env_state, obs, hs, prev_done, key,
+                params, opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
         ckpt = _make_ckpt(registry)
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
+            replay=replay,
         )
-        params, opt_state, env_state, obs, hs, prev_done = (
+        params, opt_state, env_state, obs, hs, prev_done, replay = (
             live["params"], live["opt_state"], live["env_state"],
-            live["obs"], live["hs"], live["prev_done"],
+            live["obs"], live["hs"], live["prev_done"], live["replay"],
         )
         for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
-            params, opt_state, env_state, obs, hs, prev_done, metrics = train(
-                params, opt_state, env_state, obs, hs, prev_done, k
+            (params, opt_state, env_state, obs, hs, prev_done, replay,
+             metrics) = train(
+                params, opt_state, env_state, obs, hs, prev_done, replay, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
                         env_state=env_state, obs=obs, hs=hs,
-                        prev_done=prev_done)
+                        prev_done=prev_done, replay=replay)
     elif FLAGS.task == "sepmc":
         # Self-play Chase Tag (reference example_sepmc_train.sh: PFSPGameMgr
         # over frozen historical models, init from the EPMC stage model).
@@ -219,6 +253,11 @@ def main(argv):
             optimizer = learner.make_optimizer(cfg)
         opt_state = optimizer.init(params)
         prev_done = jnp.zeros(B, bool)
+        cfg = _fit_burn_in(cfg)
+        replay = recurrent.recurrent_replay_init(
+            cfg, recurrent.rollout_example(cfg, recurrent._agent_obs(obs, 0),
+                                           hs[:, 0])
+        )
 
         pool.push("model_0000000", params, meta={"update": 0},
                   persist=bool(FLAGS.model_pool_dir))
@@ -229,34 +268,38 @@ def main(argv):
 
         @jax.jit
         def train(params, params_opp, opt_state, env_state, obs, hs,
-                  prev_done, key):
-            return recurrent.sepmc_learner_step(
+                  prev_done, replay, key):
+            return recurrent.sepmc_learner_step_replayed(
                 net, bundle, cfg, optimizer, params, params_opp,
-                opt_state, env_state, obs, hs, prev_done, key,
+                opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
         ckpt = _make_ckpt(registry)
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
+            replay=replay,
         )
-        params, opt_state, env_state, obs, hs, prev_done = (
+        params, opt_state, env_state, obs, hs, prev_done, replay = (
             live["params"], live["opt_state"], live["env_state"],
-            live["obs"], live["hs"], live["prev_done"],
+            live["obs"], live["hs"], live["prev_done"], live["replay"],
         )
         for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
-            params, opt_state, env_state, obs, hs, prev_done, metrics = train(
+            (params, opt_state, env_state, obs, hs, prev_done, replay,
+             metrics) = train(
                 params, params_opp, opt_state, env_state, obs, hs,
-                prev_done, k
+                prev_done, replay, k
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
                         env_state=env_state, obs=obs, hs=hs,
-                        prev_done=prev_done)
-            league.report_outcome(
-                opp_key, float(metrics["learner_return"]) > 0.0
+                        prev_done=prev_done, replay=replay)
+            # per-EPISODE game outcomes for PFSP (reference counts actual
+            # match results, chase_tag_game_env.py:412-419)
+            league.report_games(
+                opp_key, int(metrics["wins"]), int(metrics["games"])
             )
             if (i + 1) % FLAGS.update_opponent_freq == 0:
                 opp_key = league.sample_opponent(rng)

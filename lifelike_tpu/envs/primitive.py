@@ -55,6 +55,7 @@ class PrimitiveEnvState(NamedTuple):
     prop_hist: jnp.ndarray  # (..., STACK, PROP_SIZE)
     act_hist: jnp.ndarray  # (..., STACK, ACTION_SIZE)
     steps: jnp.ndarray  # (...,) int32 episode steps
+    ep_ret: jnp.ndarray  # (...,) accumulated episode reward (resampling stats)
 
 
 class Observation(NamedTuple):
@@ -121,6 +122,7 @@ def reset(model, clips, cfg: PrimitiveEnvConfig, key, clip_probs=None, batch=())
         prop_hist=jnp.repeat(prop[..., None, :], STACK, axis=-2),
         act_hist=jnp.zeros(batch + (STACK, ACTION_SIZE), prop.dtype),
         steps=jnp.zeros(batch, jnp.int32),
+        ep_ret=jnp.zeros(batch, prop.dtype),
     )
     return env, _observe(clips, cfg, env)
 
@@ -155,6 +157,7 @@ def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action,
         done = done | collided
 
     prop = _proprioception(robot)
+    ep_ret = env.ep_ret + reward
     env = PrimitiveEnvState(
         robot=robot,
         t=t,
@@ -166,9 +169,19 @@ def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action,
             [env.act_hist[..., 1:, :], action[..., None, :]], axis=-2
         ),
         steps=env.steps + 1,
+        ep_ret=ep_ret,
     )
     obs = _observe(clips, cfg, env)
-    info = {"fall": fall, "clip_ended": ended, "diverged": diverged}
+    # episode average reward normalized by the CLIP's max steps, as the
+    # reference does for prioritized resampling (primitive_level_env.py:236)
+    max_steps = (
+        (jnp.asarray(clips.lengths)[env.clip_idx] - clips.margin).astype(ep_ret.dtype)
+        * clips.frame_step / cfg.policy_dt
+    )
+    info = {
+        "fall": fall, "clip_ended": ended, "diverged": diverged,
+        "ep_avg_reward": ep_ret / jnp.maximum(max_steps, 1.0),
+    }
     return env, obs, reward, done, info
 
 

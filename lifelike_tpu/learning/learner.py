@@ -39,6 +39,10 @@ class PPOConfig(NamedTuple):
     replay_size: int = 256  # window slots held in HBM
     batch_windows: int = 32  # slots per sampled minibatch
     num_updates: int = 4  # optimizer steps per collected unroll
+    # LSTM-state warmup steps replayed gradient-free before each sampled
+    # window (recurrent replayed paths only; reference burn_in 12,
+    # example_pmc_train.sh:119-125)
+    burn_in: int = 12
 
 
 class Rollout(NamedTuple):
@@ -61,12 +65,17 @@ def make_optimizer(cfg: PPOConfig):
 
 
 def collect_rollout(
-    net: PMCNet, model, clips, env_cfg, cfg: PPOConfig, params, env_state, key
+    net: PMCNet, model, clips, env_cfg, cfg: PPOConfig, params, env_state, key,
+    clip_probs=None,
 ):
     """Scan `unroll_length` env steps with the stochastic policy.
 
-    Returns (env_state', Rollout with (T, B) leaves).
-    """
+    Returns (env_state', Rollout with (T, B) leaves, clip_stats) where
+    clip_stats = (reward_sum (n_clips,), episode_count (n_clips,)) holds the
+    per-clip episode-average-reward sums of episodes that ENDED inside the
+    unroll — the device-side half of the reference's prioritized clip
+    resampling (primitive_level_env.py:236-240)."""
+    n_clips = clips.num_clips
 
     def body(carry, key_t):
         env_state = carry
@@ -75,9 +84,11 @@ def collect_rollout(
         k_act, k_reset = jax.random.split(key_t)
         action = layers.gaussian_sample(k_act, out.mean, out.logstd)
         neglogp = layers.gaussian_neglogp(out.mean, out.logstd, action)
-        env_state, _, reward, done, _ = primitive.step_autoreset(
-            model, clips, env_cfg, env_state, action, k_reset
+        ep_clip = env_state.clip_idx  # the episode's clip (pre-reset)
+        env_state, _, reward, done, info = primitive.step_autoreset(
+            model, clips, env_cfg, env_state, action, k_reset, clip_probs
         )
+        ended = done.astype(reward.dtype)
         data = Rollout(
             prop=obs.prop,
             prop_a=obs.prop_a,
@@ -85,13 +96,23 @@ def collect_rollout(
             action=action,
             neglogp=neglogp,
             reward=reward,
-            discount=cfg.gamma * (1.0 - done.astype(reward.dtype)),
+            discount=cfg.gamma * (1.0 - ended),
         )
-        return env_state, data
+        stats = (
+            jax.ops.segment_sum(
+                (info["ep_avg_reward"] * ended).reshape(-1),
+                ep_clip.reshape(-1), num_segments=n_clips,
+            ),
+            jax.ops.segment_sum(
+                ended.reshape(-1), ep_clip.reshape(-1), num_segments=n_clips
+            ),
+        )
+        return env_state, (data, stats)
 
     keys = jax.random.split(key, cfg.unroll_length)
-    env_state, rollout = jax.lax.scan(body, env_state, keys)
-    return env_state, rollout
+    env_state, (rollout, stats) = jax.lax.scan(body, env_state, keys)
+    clip_stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats)
+    return env_state, rollout, clip_stats
 
 
 def ppo_loss_fn(net: PMCNet, cfg: PPOConfig, params, rollout: Rollout, axis_name=None):
@@ -156,17 +177,19 @@ def train_step(
 
 def learner_step(
     net, model, clips, env_cfg, cfg: PPOConfig, optimizer,
-    params, opt_state, env_state, key, axis_name=None,
+    params, opt_state, env_state, key, axis_name=None, clip_probs=None,
 ):
     """Collect one unroll and apply one PPO update — the full on-device
-    actor+learner iteration."""
+    actor+learner iteration. clip_stats (per-clip reward sums / episode
+    counts) ride along in metrics for host-side prioritized resampling."""
     k_roll, _ = jax.random.split(key)
-    env_state, rollout = collect_rollout(
-        net, model, clips, env_cfg, cfg, params, env_state, k_roll
+    env_state, rollout, clip_stats = collect_rollout(
+        net, model, clips, env_cfg, cfg, params, env_state, k_roll, clip_probs
     )
     params, opt_state, metrics = train_step(
         net, optimizer, cfg, params, opt_state, rollout, axis_name
     )
+    metrics["clip_reward_sum"], metrics["clip_ep_count"] = clip_stats
     return params, opt_state, env_state, metrics
 
 
@@ -190,7 +213,7 @@ def replay_init(net, model, clips, env_cfg, cfg: PPOConfig, env_state):
 
 def learner_step_replayed(
     net, model, clips, env_cfg, cfg: PPOConfig, optimizer,
-    params, opt_state, env_state, replay, key, axis_name=None,
+    params, opt_state, env_state, replay, key, axis_name=None, clip_probs=None,
 ):
     """Collect one unroll, stage it in the replay, and run
     cfg.num_updates sampled-minibatch PPO updates — the reference's
@@ -199,8 +222,8 @@ def learner_step_replayed(
     from lifelike_tpu.learning import replay as rp
 
     k_roll, k_upd = jax.random.split(key)
-    env_state, rollout = collect_rollout(
-        net, model, clips, env_cfg, cfg, params, env_state, k_roll
+    env_state, rollout, clip_stats = collect_rollout(
+        net, model, clips, env_cfg, cfg, params, env_state, k_roll, clip_probs
     )
     replay = rp.replay_add(replay, rp.windows_from_unroll(rollout, cfg.rollout_length))
 
@@ -216,4 +239,5 @@ def learner_step_replayed(
         upd, (params, opt_state), jax.random.split(k_upd, cfg.num_updates)
     )
     metrics = jax.tree.map(lambda m: m[-1], metrics)
+    metrics["clip_reward_sum"], metrics["clip_ep_count"] = clip_stats
     return params, opt_state, env_state, replay, metrics

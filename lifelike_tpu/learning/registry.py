@@ -135,6 +135,12 @@ class LeagueManager:
         self.games[opponent_key] = self.games.get(opponent_key, 0) + 1
         self.wins[opponent_key] = self.wins.get(opponent_key, 0) + int(learner_won)
 
+    def report_games(self, opponent_key: str, wins: int, games: int):
+        """Batch outcome reporting: per-EPISODE game results (the reference
+        counts actual game endings, not per-update return signs)."""
+        self.games[opponent_key] = self.games.get(opponent_key, 0) + int(games)
+        self.wins[opponent_key] = self.wins.get(opponent_key, 0) + int(wins)
+
     def win_rate(self, key: str) -> float:
         g = self.games.get(key, 0)
         return self.wins.get(key, 0) / g if g else 0.5

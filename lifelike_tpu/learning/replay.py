@@ -37,6 +37,26 @@ def windows_from_unroll(rollout, window: int):
     return jax.tree.map(split, rollout)
 
 
+def windows_overlapping(rollout, window: int, stride: int):
+    """Split (T, B, ...) unroll leaves into overlapping (N*B, window, ...)
+    slots with the given stride — for burn-in staging, where each
+    rollout_len training window carries its `burn_in` predecessor steps
+    (window = burn_in + rollout_len, stride = rollout_len)."""
+    import numpy as np
+
+    T = jax.tree.leaves(rollout)[0].shape[0]
+    starts = np.arange(0, T - window + 1, stride)
+    idx = starts[:, None] + np.arange(window)[None, :]  # (N, W)
+
+    def split(x):
+        B = x.shape[1]
+        w = x[idx]  # (N, W, B, ...)
+        w = jnp.moveaxis(w, 2, 1)  # (N, B, W, ...)
+        return w.reshape((len(starts) * B, window) + w.shape[3:])
+
+    return jax.tree.map(split, rollout)
+
+
 def replay_init(example_window, size: int) -> Replay:
     """Empty buffer shaped after one window slot (leaves (W, ...))."""
     data = jax.tree.map(
@@ -55,7 +75,9 @@ def replay_add(rep: Replay, windows) -> Replay:
     size = jax.tree.leaves(rep.data)[0].shape[0]
     n = jax.tree.leaves(windows)[0].shape[0]
     idx = (rep.cursor + jnp.arange(n, dtype=jnp.int32)) % size
-    data = jax.tree.map(lambda buf, w: buf.at[idx].set(w), rep.data, windows)
+    data = jax.tree.map(
+        lambda buf, w: buf.at[idx].set(w.astype(buf.dtype)), rep.data, windows
+    )
     return Replay(
         data=data,
         cursor=(rep.cursor + n) % size,

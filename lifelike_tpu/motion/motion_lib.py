@@ -251,6 +251,20 @@ class PrioritizedClipSampler:
         w = (1.0 - self.avg_reward) ** self.factor
         self._p = w / w.sum()
 
+    def update_sums(self, reward_sum, episode_count):
+        """Batch update from the learner's per-clip accumulators: for every
+        clip with >= 1 ended episode this update, set avg_reward to the mean
+        episode-average reward (last-write-wins, like the reference's
+        per-episode assignment at primitive_level_env.py:236)."""
+        cnt = np.asarray(episode_count)
+        rs = np.asarray(reward_sum)
+        seen = cnt > 0
+        if not seen.any():
+            return
+        self.avg_reward[seen] = rs[seen] / cnt[seen]
+        w = (1.0 - np.clip(self.avg_reward, 0.0, 1.0)) ** self.factor
+        self._p = w / w.sum()
+
     @property
     def probabilities(self):
         return jnp.asarray(self._p)
