@@ -14,6 +14,9 @@ it prints one line per row of the full matrix:
                SDF contact (BASELINE.json config 3)
   sepmc        two-robot Chase-Tag alternating-best-response solve in the V4
                arena (BASELINE.json config 4); per-robot population pop/2
+  hybrid       MPPI->iLQR hybrid (sampling + Pallas-Riccati SQP polish of the
+               weighted u + top-7 candidates): latency row + relative
+               cost-improvement row vs the pure-MPPI seed
 
 The north-star target (BASELINE.md) is >=4096 parallel H=50 rollouts per MPC
 solve at <10 ms p50 on TPU; vs_baseline = target_ms / measured_ms, so values
@@ -135,6 +138,93 @@ def bench_pmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile):
     ms = _slope_ms(chained, args, reps, m_hi)
     tag = "" if real else "_syn"
     return f"mpc_solve_latency_pop{pop}_H{horizon}_sub{substeps}{tag}", ms
+
+
+def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
+                 n_refine=7, ilqr_iters=1):
+    """MPPI->iLQR hybrid solve: latency + smooth-cost improvement over the
+    pure-MPPI weighted u (BASELINE north_star 'sampling+SQP hybrid').
+
+    Returns (name, ms, improvement) where improvement is the mean relative
+    cost reduction of the refined sequence vs its MPPI seed."""
+    from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.solver import hybrid, ilqr, mppi, mppi_tl, rollout_tl
+
+    model = build_max_model()
+    real = os.path.exists(REAL_CLIP) and not int(os.environ.get("BENCH_SYN", 0))
+    if real:
+        clips = motion_lib.load_clips(REAL_CLIP)
+    else:
+        clips = motion_lib.pack_clips(
+            [motion_lib.make_synthetic_clip(int(120 * (horizon / 50.0 + 3)))],
+            frame_step=1.0 / 120.0,
+        )
+    params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
+    cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
+    icfg = ilqr.ILQRConfig(iterations=ilqr_iters)
+    c = B.tl_constants(model, dtype=jnp.float32)
+    state = _stand_state()
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
+    policy_dt = params.dt * params.substeps
+    if fused:
+        from lifelike_tpu.ops import rollout_pallas, scalar_phys
+
+        sm = scalar_phys.build_scalar_model(model)
+
+    def chained(M):
+        @jax.jit
+        def f(key, tl_state, u_warm, t0):
+            def body(carry, i):
+                uw, _ = carry
+                k = jax.random.fold_in(key, i)
+                ref = rollout_tl.precompute_reference(
+                    model, clips, jnp.asarray(0), t0, horizon, policy_dt
+                )
+                rollout_fn = None
+                if fused:
+                    rollout_fn = lambda sk, uc: (
+                        rollout_pallas.rollout_tracking_fused(
+                            sm, params, sk, uc, ref
+                        )
+                    )
+                u_opt, diag = mppi_tl.mppi_step(
+                    c, params, cfg, k, tl_state, uw, ref,
+                    rollout_fn=rollout_fn, return_topk=n_refine,
+                )
+                us = jnp.concatenate(
+                    [u_opt[None], diag["u_topk"]], axis=0
+                ).reshape(n_refine + 1, horizon, 12)
+                u_best, cost_best, info = hybrid.refine_candidates(
+                    model, params, clips, jnp.asarray(0), t0, state, us, icfg
+                )
+                imp = (info["initial_cost"][0] - cost_best) / jnp.maximum(
+                    info["initial_cost"][0], 1e-6
+                )
+                return (u_best.reshape(horizon, 4, 3), imp), cost_best
+
+            (u_fin, imp), costs = jax.lax.scan(
+                body, (u_warm, jnp.asarray(0.0, jnp.float32)), jnp.arange(M)
+            )
+            return u_fin, imp, costs
+
+        return f
+
+    args = (
+        jax.random.PRNGKey(0),
+        tl,
+        jnp.zeros((horizon, 4, 3), jnp.float32),
+        jnp.asarray(0.5, jnp.float32),
+    )
+    ms = _slope_ms(chained, args, reps, m_hi)
+    imp = float(np.asarray(jax.jit(chained(4))(*args)[1]))
+    tag = "" if real else "_syn"
+    return (
+        f"hybrid_solve_latency_pop{pop}_H{horizon}_r{n_refine + 1}{tag}",
+        ms, imp,
+    )
 
 
 def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16):
@@ -296,6 +386,16 @@ def main():
     emit(name, ms_e)
     name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
     emit(name, ms_s)
+    name, ms_h, imp = bench_hybrid(
+        pop, horizon, substeps, reps, m_hi, mass_freeze, fused
+    )
+    emit(name, ms_h)
+    print(json.dumps({
+        "metric": name.replace("latency", "cost_improvement"),
+        "value": round(imp, 4),
+        "unit": "relative cost reduction vs MPPI seed",
+        "vs_baseline": round(imp, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,9 @@ flags.DEFINE_integer("population", 512, "MPPI population")
 flags.DEFINE_integer("horizon", 10, "MPC horizon (control steps)")
 flags.DEFINE_integer("iterations", 1, "MPPI iterations per solve")
 flags.DEFINE_integer("best_response", 1, "alternating best-response rounds (sepmc)")
+flags.DEFINE_bool("hybrid", False, "MPPI->iLQR hybrid solver (pmc)")
+flags.DEFINE_integer("ilqr_iterations", 2, "iLQR polish iterations (--hybrid)")
+flags.DEFINE_integer("n_refine", 7, "top raw candidates refined (--hybrid)")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend")
 flags.DEFINE_string("dump", "", "write the closed-loop trajectory to this .npz")
@@ -65,7 +68,16 @@ def run_pmc(key):
                            iterations=FLAGS.iterations)
     c = B.tl_constants(model)
     env, obs = primitive.reset(model, clips, cfg, key)
-    ctrl = mppi_tl.make_mpc_controller(model, c, cfg.params, clips, mcfg)
+    if FLAGS.hybrid:
+        from lifelike_tpu.solver import hybrid, ilqr
+
+        ctrl = hybrid.make_hybrid_controller(
+            model, c, cfg.params, clips, mcfg,
+            ilqr.ILQRConfig(iterations=FLAGS.ilqr_iterations),
+            n_refine=FLAGS.n_refine,
+        )
+    else:
+        ctrl = mppi_tl.make_mpc_controller(model, c, cfg.params, clips, mcfg)
     step = jax.jit(lambda e, a: primitive.step(model, clips, cfg, e, a))
 
     u = jnp.zeros((mcfg.horizon, 4, 3))

@@ -99,6 +99,7 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
     for feedforward k and feedback K gains, then a line-searched nonlinear
     forward rollout; the candidate is kept only when the true cost improves.
     """
+    u_init = u_init.astype(x0.dtype)  # mixed dtypes break the engine scans
     H = u_init.shape[0]
 
     fx_fn = jax.jacfwd(step_fn, argnums=0)
@@ -176,3 +177,96 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
     )
     return u_opt, {"initial_cost": cost0, "final_cost": final_cost,
                    "cost_history": hist}
+
+
+# ---------------------------------------------------------------------------
+# Scenario-batched refinement: the MPPI->iLQR hybrid's polish stage. All S
+# scenarios linearize / sweep / line-search together, the backward Riccati
+# recursion running in VMEM (solver.riccati_pallas).
+# ---------------------------------------------------------------------------
+
+
+def linearize(step_fn, cost_fn, xs, us):
+    """Jacobians and cost quadratics along batched trajectories.
+
+    xs: (S, H, n) pre-step states, us: (S, H, m). Returns
+    (A (S,H,n,n), B (S,H,n,m), cx, cu, Cxx, Cuu)."""
+    H = us.shape[1]
+    ts = jnp.arange(H, dtype=xs.dtype)
+
+    def at_point(x, u, t):
+        return (
+            jax.jacfwd(step_fn, argnums=0)(x, u, t),
+            jax.jacfwd(step_fn, argnums=1)(x, u, t),
+            jax.grad(cost_fn, argnums=0)(x, u, t),
+            jax.grad(cost_fn, argnums=1)(x, u, t),
+            jax.hessian(cost_fn, argnums=0)(x, u, t),
+            jax.hessian(cost_fn, argnums=1)(x, u, t),
+        )
+
+    return jax.vmap(jax.vmap(at_point, in_axes=(0, 0, 0)),
+                    in_axes=(0, 0, None))(xs, us, ts)
+
+
+def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
+                     cfg: ILQRConfig = ILQRConfig(), use_pallas=True):
+    """Refine S control sequences together. x0: (S, n), u_init: (S, H, m).
+
+    Per iteration: batched linearization, one Riccati sweep over all
+    scenarios (Pallas kernel; XLA oracle with use_pallas=False), then a
+    line-searched nonlinear forward rollout per scenario — each scenario
+    keeps its own best alpha, and keeps its old sequence if nothing improves.
+    Returns (u_opt (S, H, m), {initial_cost, final_cost} each (S,))."""
+    from lifelike_tpu.solver import riccati_pallas
+
+    u_init = u_init.astype(x0.dtype)  # mixed dtypes break the engine scans
+    S, H, _ = u_init.shape
+    roll = jax.vmap(lambda x, u: _rollout(step_fn, cost_fn, x, u),
+                    in_axes=(0, 0))
+    sweep = (riccati_pallas.riccati_sweep if use_pallas
+             else riccati_pallas.riccati_sweep_ref)
+
+    def one_iteration(carry, _):
+        us, best_cost = carry
+        xs, _, _ = roll(x0, us)  # (S, H, n)
+        A, Bm, cx, cu, Cxx, Cuu = linearize(step_fn, cost_fn, xs, us)
+        ks, Ks = sweep(A, Bm, cx, cu, Cxx, Cuu, reg=cfg.reg)
+
+        def fwd_one(alpha, x0_s, us_s, xs_s, ks_s, Ks_s):
+            def fwd(carry, inp):
+                x, t = carry
+                u_old, x_old, k, K = inp
+                u = u_old + alpha * k + K @ (x - x_old)
+                return (step_fn(x, u, t), t + 1.0), u
+
+            (_, _), us_new = jax.lax.scan(
+                fwd, (x0_s, jnp.zeros((), x0.dtype)), (us_s, xs_s, ks_s, Ks_s)
+            )
+            return us_new
+
+        def try_alpha(alpha):
+            us_new = jax.vmap(fwd_one, in_axes=(None, 0, 0, 0, 0, 0))(
+                alpha, x0, us, xs, ks, Ks
+            )
+            _, _, cost_new = roll(x0, us_new)
+            return us_new, cost_new
+
+        cands = [try_alpha(a) for a in cfg.line_search]
+        costs = jnp.stack([c for _, c in cands])  # (n_alpha, S)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        best = jnp.argmin(costs, axis=0)  # (S,)
+        us_stack = jnp.stack([u for u, _ in cands])  # (n_alpha, S, H, m)
+        us_best = jnp.take_along_axis(
+            us_stack, best[None, :, None, None], axis=0
+        )[0]
+        cost_b = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+        improved = cost_b < best_cost  # (S,)
+        us_out = jnp.where(improved[:, None, None], us_best, us)
+        new_best = jnp.where(improved, cost_b, best_cost)
+        return (us_out, new_best), None
+
+    _, _, cost0 = roll(x0, u_init)
+    (u_opt, final_cost), _ = jax.lax.scan(
+        one_iteration, (u_init, cost0), None, length=cfg.iterations
+    )
+    return u_opt, {"initial_cost": cost0, "final_cost": final_cost}

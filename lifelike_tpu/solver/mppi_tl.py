@@ -38,6 +38,7 @@ def mppi_step(
     terrain_fn=None,
     lanes=None,
     rollout_fn=None,
+    return_topk=0,
 ):
     """One MPPI improvement for a single scenario.
 
@@ -46,6 +47,9 @@ def mppi_step(
     rollout_fn: optional (state_k, u_cand) -> total_cost (Bs, L) override —
     e.g. the fused Pallas kernel (ops.rollout_pallas); default is the
     XLA-scan rollout with this ref/terrain.
+    return_topk: if > 0, diagnostics gain 'u_topk' (k, H, 4, 3) and
+    'cost_topk' (k,) — the last iteration's best raw candidates, the seeds
+    of the iLQR refinement stage (solver.hybrid).
     """
     K, H = cfg.population, cfg.horizon
     if lanes is None:
@@ -74,11 +78,25 @@ def mppi_step(
             (-(total_cost - c_min) / cfg.temperature).reshape(-1)
         ).reshape(total_cost.shape)
         u_new = jnp.sum(u_cand * w, axis=(-2, -1))
-        return u_new, (c_min, jnp.sum(w * total_cost))
+        extras = ()
+        if return_topk:
+            neg_top, idx = jax.lax.top_k(
+                -total_cost.reshape(-1), return_topk
+            )
+            flat = u_cand.reshape(u_cand.shape[:3] + (-1,))  # (H,4,3,K)
+            u_topk = jnp.moveaxis(flat[..., idx], -1, 0)  # (k,H,4,3)
+            extras = (u_topk, -neg_top)
+        return u_new, ((c_min, jnp.sum(w * total_cost)), extras)
 
     keys = jax.random.split(key, cfg.iterations)
-    u_final, (c_mins, c_means) = jax.lax.scan(one_iter, u_nominal, keys)
-    return u_final, {"best_cost": c_mins[-1], "weighted_cost": c_means[-1]}
+    u_final, ((c_mins, c_means), extras) = jax.lax.scan(
+        one_iter, u_nominal, keys
+    )
+    diag = {"best_cost": c_mins[-1], "weighted_cost": c_means[-1]}
+    if return_topk:
+        diag["u_topk"] = extras[0][-1]
+        diag["cost_topk"] = extras[1][-1]
+    return u_final, diag
 
 
 def make_mpc_controller(model, c, params, clips, cfg: MPPIConfig, terrain_fn=None,
