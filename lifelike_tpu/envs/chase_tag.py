@@ -16,10 +16,14 @@ body contact between robots ends the game with +-1 for the chaser
 (:412-419); occlusion-aware visibility via segment tests against arena boxes
 plus a FOV cone (:472-493).
 
-Approximations vs Bullet: robot-robot and robot-flag "contact" are distance
-thresholds (no rigid contact response between robots); visibility uses the
-root-to-root segment (the reference falls back to head-to-convex-hull rays
-only when the root ray is blocked).
+Contact parity vs Bullet: the catch check mirrors _detect_body_contact
+(:426-456) — robot 0's leg/wheel link spheres against the opponent's trunk
+collision box (SDF) and link spheres; visibility mirrors _ray_test_visible
+(:472-493) — root-to-root segment first, then a head->convex-point ray fan;
+robot-robot interpenetration is resisted by a compliant trunk-sphere
+spring-damper impulse applied at the control rate (Bullet resolves it as
+rigid contact at substep rate — the softer 50 Hz response is the remaining
+approximation). Robot-flag "contact" stays a distance threshold.
 """
 from typing import NamedTuple
 
@@ -31,12 +35,24 @@ from lifelike_tpu.envs import randomizer
 from lifelike_tpu.envs.playground import _INIT_JOINTS
 from lifelike_tpu.envs.primitive import ACTION_SIZE, STACK, _proprioception
 from lifelike_tpu.math import quat
-from lifelike_tpu.physics import engine
+from lifelike_tpu.physics import dynamics, engine
 from lifelike_tpu.physics.dynamics import RobotState
 from lifelike_tpu.scene import arena_gen, boxes
 
-CATCH_RADIUS = 0.45  # approx body-contact distance (two 0.28 m half-lengths)
 FLAG_RADIUS = 0.3  # flag box 0.1 x 0.1 x 0.5 grab distance
+
+# trunk collision box and handle offsets from max.urdf (robot/max_urdf_data):
+# the reference's convex point set is feet + wheels + handles
+# (legged_robot.py:150-156); the head point is the front handle (:154-156).
+TRUNK_HALF = (0.283, 0.205, 0.11)
+HEAD_OFFSET = (0.1415, 0.0, 0.085)
+HIND_OFFSET = (-0.2485, 0.0, 0.085)
+CATCH_MARGIN = 0.06  # link-sphere radius + Bullet contact slop
+# compliant robot-robot trunk contact (one bounding sphere per trunk: the
+# push direction stays well-defined at any interpenetration depth)
+RR_RADIUS = 0.25  # between the trunk half-width and half-length
+RR_KN = 2500.0  # N/m trunk-trunk spring
+RR_DN = 60.0  # N s/m normal damping
 
 
 class ChaseTagConfig(NamedTuple):
@@ -99,7 +115,81 @@ def _segment_visible(scene, p_from, p_to):
     return t >= dist[..., 0]
 
 
-def _observe(cfg: ChaseTagConfig, s: ChaseTagState) -> ChaseTagObs:
+def _convex_points(model, r: RobotState, kin=None):
+    """(..., 2, 11, 3): base, front/hind handles, 4 feet, 4 wheels per robot
+    — the reference's ray-target convex point set (legged_robot.py:150-156),
+    with the base standing in for the trunk centroid."""
+    if kin is None:
+        kin = dynamics.forward_kinematics(model, r)
+    Rm = quat.to_matrix(r.base_orn)
+    dt = r.base_pos.dtype
+
+    def off(o):
+        return r.base_pos + jnp.einsum(
+            "...ij,j->...i", Rm, jnp.asarray(o, dt)
+        )
+
+    return jnp.concatenate(
+        [
+            r.base_pos[..., None, :],
+            off(HEAD_OFFSET)[..., None, :],
+            off(HIND_OFFSET)[..., None, :],
+            kin.p_foot,
+            kin.p_wheel,
+        ],
+        axis=-2,
+    ), kin
+
+
+def _link_catch(model, r: RobotState, kin=None):
+    """Reference _check_contact_status(robot 0) (:426-456,:442-450): any of
+    robot 0's leg/wheel link spheres touching the other robot — evaluated
+    against the opponent's trunk collision box (point SDF) and its own
+    foot/wheel spheres, instead of Bullet contact points. Returns bool (...)."""
+    if kin is None:
+        kin = dynamics.forward_kinematics(model, r)
+    legs0 = jnp.concatenate(
+        [kin.p_foot[..., 0, :, :], kin.p_wheel[..., 0, :, :]], axis=-2
+    )  # (..., 8, 3)
+    pos1 = r.base_pos[..., 1, :]
+    orn1 = r.base_orn[..., 1, :]
+    local = quat.rotate_inv(
+        orn1[..., None, :], legs0 - pos1[..., None, :]
+    )  # (..., 8, 3)
+    half = jnp.asarray(TRUNK_HALF, local.dtype)
+    outside = jnp.maximum(jnp.abs(local) - half, 0.0)
+    d_box = jnp.linalg.norm(outside, axis=-1)  # 0 inside the trunk box
+    foot_r = jnp.asarray(model.foot_radius, local.dtype)
+    hit_trunk = jnp.any(d_box < foot_r + CATCH_MARGIN, axis=-1)
+    legs1 = jnp.concatenate(
+        [kin.p_foot[..., 1, :, :], kin.p_wheel[..., 1, :, :]], axis=-2
+    )
+    d_pp = jnp.linalg.norm(
+        legs0[..., :, None, :] - legs1[..., None, :, :], axis=-1
+    )
+    hit_leg = jnp.any(d_pp < 2.0 * foot_r + CATCH_MARGIN, axis=(-2, -1))
+    return hit_trunk | hit_leg
+
+
+def _robot_contact_impulse(model, cfg: ChaseTagConfig, r: RobotState):
+    """Compliant trunk-trunk contact: one bounding sphere per trunk,
+    spring-damper normal force integrated over one control step into the
+    base velocities (Bullet: rigid contact via the solver on every body).
+    Returns dv (..., 2, 3)."""
+    d = r.base_pos[..., 0, :] - r.base_pos[..., 1, :]
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-6)
+    n = d / dist
+    overlap = jnp.maximum(2.0 * RR_RADIUS - dist, 0.0)
+    v_rel = r.base_lin_vel[..., 0, :] - r.base_lin_vel[..., 1, :]
+    vn = jnp.sum(v_rel * n, axis=-1, keepdims=True)
+    f = jnp.where(overlap > 0.0, RR_KN * overlap - RR_DN * vn, 0.0)
+    f = jnp.maximum(f, 0.0)  # unilateral: no sticking
+    mass = float(model.base_mass + model.link_mass.sum())
+    dv = (f * n) * (cfg.policy_dt / mass)
+    return jnp.stack([dv, -dv], axis=-2)
+
+
+def _observe(model, cfg: ChaseTagConfig, s: ChaseTagState) -> ChaseTagObs:
     r = s.robots
     pos = r.base_pos  # (..., 2, 3)
     orn = r.base_orn
@@ -125,7 +215,26 @@ def _observe(cfg: ChaseTagConfig, s: ChaseTagState) -> ChaseTagObs:
     oppo_lin = jnp.flip(r.base_lin_vel, axis=-2)
     oppo_ang = jnp.flip(r.base_ang_vel, axis=-2)
     diff = oppo_pos - pos
+    # reference _ray_test_visible (:472-493): root->root segment first, then
+    # a fan of rays from the head point to the opponent's convex points
     seg_vis = _segment_visible(scene_a, pos, oppo_pos)
+    pts, _ = _convex_points(model, r)  # (..., 2, P, 3)
+    head = pts[..., 1, :]  # front handle (..., 2, 3)
+    oppo_pts = jnp.flip(pts, axis=-3)  # opponent's points per agent
+    scene_ap = boxes.BoxScene(
+        center=s.scene.center[..., None, None, :, :],
+        half=s.scene.half[..., None, None, :, :],
+        active=s.scene.active[..., None, None, :],
+        target_pos=s.scene.target_pos[..., None, None, :],
+    )
+    ray_vis = jnp.any(
+        _segment_visible(
+            scene_ap, jnp.broadcast_to(head[..., None, :], oppo_pts.shape),
+            oppo_pts,
+        ),
+        axis=-1,
+    )
+    seg_vis = seg_vis | ray_vis
     dxy = diff[..., :2]
     cos_theta = (
         jnp.cos(yaw) * dxy[..., 0] + jnp.sin(yaw) * dxy[..., 1]
@@ -230,7 +339,7 @@ def reset(model, cfg: ChaseTagConfig, key, batch=()):
         prop_hist=jnp.repeat(prop[..., None, :], STACK, axis=-2),
         act_hist=jnp.zeros(batch + (2, STACK, ACTION_SIZE), prop.dtype),
     )
-    return s, _observe(cfg, s)
+    return s, _observe(model, cfg, s)
 
 
 def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
@@ -254,6 +363,11 @@ def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
     target_q = s.robots.joint_pos + a_llc
     # Full box SDF contact: arena walls and blocks push back as hard bodies.
     robots = engine.control_step(model, params, s.robots, target_q, scene=scene_a)
+    # compliant robot-robot trunk contact (Bullet: rigid solver contact)
+    robots = robots._replace(
+        base_lin_vel=robots.base_lin_vel
+        + _robot_contact_impulse(model, cfg, robots)
+    )
 
     counter = s.counter + 1
     spd = jnp.linalg.norm(robots.base_lin_vel[..., :2], axis=-1)  # (..., 2)
@@ -282,10 +396,8 @@ def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
         RobotState(*[getattr(robots, f)[..., 0, :] for f in robots._fields])
     )
     timeout = counter >= cfg.max_steps
-    dist_rr = jnp.linalg.norm(
-        (robots.base_pos[..., 0, :2] - robots.base_pos[..., 1, :2]), axis=-1
-    )
-    contact = dist_rr < CATCH_RADIUS
+    # catch = robot 0's leg/wheel links touching the other robot (:426-456)
+    contact = _link_catch(model, robots)
     done = fall0 | timeout | contact
 
     # terminal +-1: chaser catches (:412-419)
@@ -310,7 +422,7 @@ def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
             [s.act_hist[..., 1:, :], a_llc[..., None, :]], axis=-2
         ),
     )
-    obs = _observe(cfg, s)
+    obs = _observe(model, cfg, s)
     info = {
         "avg_spd0": total_spd[..., 0] / counter,
         "avg_spd1": total_spd[..., 1] / counter,

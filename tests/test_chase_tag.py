@@ -98,7 +98,7 @@ def test_visibility_occlusion():
     pos = s.robots.base_pos.at[0, :2].set(jnp.asarray([-1.0, 0.0]))
     pos = pos.at[1, :2].set(jnp.asarray([1.0, 0.0]))
     s = s._replace(robots=s.robots._replace(base_pos=pos))
-    obs = chase_tag._observe(cfg, s)
+    obs = chase_tag._observe(MODEL, cfg, s)
     assert float(obs.oppo_info[0, 0]) == 1.0
     # wall between them: add an occluding box
     scene = s.scene
@@ -107,7 +107,7 @@ def test_visibility_occlusion():
         half=scene.half.at[10].set(jnp.asarray([0.05, 2.5, 1.0])),
         active=scene.active.at[10].set(True),
     )
-    obs2 = chase_tag._observe(cfg, s._replace(scene=scene))
+    obs2 = chase_tag._observe(MODEL, cfg, s._replace(scene=scene))
     assert float(obs2.oppo_info[0, 0]) == 0.0
     # cheat obs still sees
     assert float(obs2.oppo_info_cheat[0, 0]) == 0.0  # visible flag is false
@@ -174,3 +174,70 @@ def test_sepmc_llc_structure_matches_pmc():
     assert jax.tree.map(lambda x: x.shape, pp["params"]["llc"]) == jax.tree.map(
         lambda x: x.shape, sp["params"]["llc"]
     )
+
+
+def test_link_catch_geometry():
+    """Catch requires robot 0's leg/wheel links near the opponent's body
+    (reference _detect_body_contact, chase_tag_game_env.py:426-456) — not
+    just base proximity."""
+    cfg = _small_cfg()
+    s, _ = chase_tag.reset(MODEL, cfg, jax.random.PRNGKey(11))
+    far = s.robots.base_pos.at[0, :2].set(jnp.asarray([-1.5, 0.0]))
+    far = far.at[1, :2].set(jnp.asarray([1.5, 0.0]))
+    assert not bool(chase_tag._link_catch(
+        MODEL, s.robots._replace(base_pos=far)
+    ))
+    near = s.robots.base_pos.at[0, :2].set(jnp.asarray([0.0, 0.0]))
+    near = near.at[1, :2].set(jnp.asarray([0.25, 0.0]))
+    assert bool(chase_tag._link_catch(
+        MODEL, s.robots._replace(base_pos=near)
+    ))
+
+
+def test_head_ray_fan_sees_under_floating_wall():
+    """A floating wall blocks the root-root ray but the head->convex-point
+    fan (reference _ray_test_visible :472-493) finds the opponent's feet
+    under it."""
+    cfg = chase_tag.ChaseTagConfig(
+        arena=arena_gen.ArenaConfig(hole=False), visible_angle=jnp.pi
+    )
+    s, _ = chase_tag.reset(MODEL, cfg, jax.random.PRNGKey(6))
+    pos = s.robots.base_pos.at[0].set(jnp.asarray([-1.0, 0.0, 0.5]))
+    pos = pos.at[1].set(jnp.asarray([1.0, 0.0, 0.5]))
+    s = s._replace(robots=s.robots._replace(base_pos=pos))
+
+    def with_wall(z_lo, z_hi):
+        zc, zh = 0.5 * (z_lo + z_hi), 0.5 * (z_hi - z_lo)
+        scene = s.scene
+        scene = scene._replace(
+            center=scene.center.at[10].set(jnp.asarray([0.0, 0.0, zc])),
+            half=scene.half.at[10].set(jnp.asarray([0.05, 2.5, zh])),
+            active=scene.active.at[10].set(True),
+        )
+        return chase_tag._observe(MODEL, cfg, s._replace(scene=scene))
+
+    # floating wall covering the base/head heights only: fan sees the feet
+    assert float(with_wall(0.45, 2.0).oppo_info[0, 0]) == 1.0
+    # full-height wall: nothing gets through
+    assert float(with_wall(0.0, 2.0).oppo_info[0, 0]) == 0.0
+
+
+def test_robot_contact_impulse_pushes_apart():
+    cfg = _small_cfg()
+    s, _ = chase_tag.reset(MODEL, cfg, jax.random.PRNGKey(12))
+    pos = s.robots.base_pos.at[0].set(jnp.asarray([0.0, 0.0, 0.33]))
+    pos = pos.at[1].set(jnp.asarray([0.2, 0.0, 0.33]))
+    orn = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 4))
+    r = s.robots._replace(
+        base_pos=pos, base_orn=orn, base_lin_vel=jnp.zeros((2, 3))
+    )
+    dv = chase_tag._robot_contact_impulse(MODEL, cfg, r)
+    assert float(dv[0, 0]) < 0.0  # robot 0 pushed in -x
+    assert float(dv[1, 0]) > 0.0  # robot 1 pushed in +x
+    np.testing.assert_allclose(  # equal and opposite (momentum conserved)
+        np.asarray(dv[0]), -np.asarray(dv[1]), atol=1e-6
+    )
+    # no force when apart
+    apart = r._replace(base_pos=pos.at[1, 0].set(2.0))
+    dv0 = chase_tag._robot_contact_impulse(MODEL, cfg, apart)
+    np.testing.assert_allclose(np.asarray(dv0), 0.0, atol=1e-9)
