@@ -386,8 +386,15 @@ def main():
     emit(name, ms_e)
     name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
     emit(name, ms_s)
+    # The hybrid's value is SAMPLE efficiency: at large populations the MPPI
+    # weighted u is already near-optimal, so the refinement row runs at a
+    # quarter population where second-order polish visibly beats sampling
+    # (override with BENCH_HYBRID_POP / BENCH_ILQR_ITERS).
+    h_pop = int(os.environ.get("BENCH_HYBRID_POP", max(pop // 4, 128)))
+    h_iters = int(os.environ.get("BENCH_ILQR_ITERS", 6))
     name, ms_h, imp = bench_hybrid(
-        pop, horizon, substeps, reps, m_hi, mass_freeze, fused
+        h_pop, horizon, substeps, reps, m_hi, mass_freeze,
+        fused and h_pop % 128 == 0, ilqr_iters=h_iters,
     )
     emit(name, ms_h)
     print(json.dumps({
@@ -396,6 +403,18 @@ def main():
         "unit": "relative cost reduction vs MPPI seed",
         "vs_baseline": round(imp, 4),
     }), flush=True)
+    if int(os.environ.get("BENCH_SCALING", 0)):
+        # weak-scaling proxy rows (virtual CPU mesh, own subprocess so the
+        # forced host-device count cannot disturb this process's backend)
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "scaling_bench.py")],
+            capture_output=True, text=True, timeout=3600,
+        )
+        print(out.stdout, end="", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,16 @@ ACT_DIM = 12
 
 class ILQRConfig(NamedTuple):
     iterations: int = 3
-    reg: float = 1e-3  # Levenberg-Marquardt regularization
+    reg: float = 1e-3  # initial Levenberg-Marquardt regularization
     u_reg: float = 1e-3  # control effort weight
     line_search: tuple = (1.0, 0.5, 0.25, 0.1)
+    # adaptive LM schedule (batched path): per-scenario reg shrinks on an
+    # accepted step and grows on rejection, so stiff contact-dominated
+    # linearizations fall back to small damped steps instead of stalling
+    reg_down: float = 0.5
+    reg_up: float = 10.0
+    reg_min: float = 1e-4
+    reg_max: float = 1e2
 
 
 def flatten_state(s: RobotState):
@@ -75,7 +82,16 @@ def make_problem(model, params: engine.PhysicsParams, clips, clip_idx, t0,
         kin = dynamics.forward_kinematics(model, s)
         ref_feet = ref_foot_positions(model, ref)
         c = tracking.tracking_cost(s, kin.p_foot, ref, ref_feet, weights)
-        return c + u_reg * jnp.sum(u**2)
+        # smooth (C^2) surrogate of the MPPI rollout's hard fall penalty
+        # (rollout_tl.tracking_cost_step adds +5 on fall_mask): keeps the
+        # second-order refinement from polishing toward tipped poses the
+        # sampling layer would have rejected. up_z < cos(60 deg) == pitch
+        # fall in check_terminate (legged_robot.py:158-179).
+        from lifelike_tpu.math import quat as quat_mod
+
+        up_z = quat_mod.to_matrix(s.base_orn)[..., 2, 2]
+        soft_fall = jax.nn.sigmoid((jnp.cos(jnp.pi / 3.0) - up_z) * 20.0)
+        return c + u_reg * jnp.sum(u**2) + 5.0 * soft_fall
 
     return step_fn, cost_fn
 
@@ -110,7 +126,7 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
     cuu_fn = jax.hessian(cost_fn, argnums=1)
 
     def one_iteration(carry, _):
-        us, best_cost = carry
+        us, best_cost, reg = carry
         xs, xT, _ = _rollout(step_fn, cost_fn, x0, us)
         ts = jnp.arange(H, dtype=x0.dtype)
 
@@ -121,7 +137,6 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
         Cuu = jax.vmap(cuu_fn)(xs, us, ts)
 
         eye_u = jnp.eye(ACT_DIM, dtype=x0.dtype)
-        eye_x = jnp.eye(STATE_DIM, dtype=x0.dtype)
 
         def backward(carry, inp):
             Vx, Vxx = carry
@@ -129,7 +144,7 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
             Qx = cxt + At.T @ Vx
             Qu = cut + Bt.T @ Vx
             Qxx = Cxxt + At.T @ Vxx @ At
-            Quu = Cuut + Bt.T @ Vxx @ Bt + cfg.reg * eye_u
+            Quu = Cuut + Bt.T @ Vxx @ Bt + reg * eye_u
             Qux = Bt.T @ Vxx @ At
             # symmetrize for stability
             Quu = 0.5 * (Quu + Quu.T)
@@ -137,7 +152,7 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
             K = -jnp.linalg.solve(Quu, Qux)
             Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
             Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx2 = 0.5 * (Vxx2 + Vxx2.T) + cfg.reg * 0.0 * eye_x
+            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
             return (Vx2, Vxx2), (k, K)
 
         VxT = jnp.zeros(STATE_DIM, x0.dtype)
@@ -169,11 +184,17 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
         improved = cost_b < best_cost
         us_out = jnp.where(improved, us_best, us)
         new_best = jnp.where(improved, cost_b, best_cost)
-        return (us_out, new_best), new_best
+        # adaptive Levenberg-Marquardt (same schedule as ilqr_solve_batch)
+        reg_next = jnp.clip(
+            jnp.where(improved, reg * cfg.reg_down, reg * cfg.reg_up),
+            cfg.reg_min, cfg.reg_max,
+        )
+        return (us_out, new_best, reg_next), new_best
 
     _, _, cost0 = _rollout(step_fn, cost_fn, x0, u_init)
-    (u_opt, final_cost), hist = jax.lax.scan(
-        one_iteration, (u_init, cost0), None, length=cfg.iterations
+    reg0 = jnp.asarray(cfg.reg, x0.dtype)
+    (u_opt, final_cost, _), hist = jax.lax.scan(
+        one_iteration, (u_init, cost0, reg0), None, length=cfg.iterations
     )
     return u_opt, {"initial_cost": cost0, "final_cost": final_cost,
                    "cost_history": hist}
@@ -227,10 +248,14 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
              else riccati_pallas.riccati_sweep_ref)
 
     def one_iteration(carry, _):
-        us, best_cost = carry
+        us, best_cost, reg_s = carry
         xs, _, _ = roll(x0, us)  # (S, H, n)
         A, Bm, cx, cu, Cxx, Cuu = linearize(step_fn, cost_fn, xs, us)
-        ks, Ks = sweep(A, Bm, cx, cu, Cxx, Cuu, reg=cfg.reg)
+        # fold the per-scenario LM damping into Cuu (reg only ever enters
+        # the recursion through Quu = Cuu + B'VB + reg*I)
+        m = Cuu.shape[-1]
+        Cuu = Cuu + reg_s[:, None, None, None] * jnp.eye(m, dtype=Cuu.dtype)
+        ks, Ks = sweep(A, Bm, cx, cu, Cxx, Cuu, reg=0.0)
 
         def fwd_one(alpha, x0_s, us_s, xs_s, ks_s, Ks_s):
             def fwd(carry, inp):
@@ -263,10 +288,15 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
         improved = cost_b < best_cost  # (S,)
         us_out = jnp.where(improved[:, None, None], us_best, us)
         new_best = jnp.where(improved, cost_b, best_cost)
-        return (us_out, new_best), None
+        reg_next = jnp.clip(
+            jnp.where(improved, reg_s * cfg.reg_down, reg_s * cfg.reg_up),
+            cfg.reg_min, cfg.reg_max,
+        )
+        return (us_out, new_best, reg_next), None
 
     _, _, cost0 = roll(x0, u_init)
-    (u_opt, final_cost), _ = jax.lax.scan(
-        one_iteration, (u_init, cost0), None, length=cfg.iterations
+    reg0 = jnp.full((S,), cfg.reg, x0.dtype)
+    (u_opt, final_cost, _), _ = jax.lax.scan(
+        one_iteration, (u_init, cost0, reg0), None, length=cfg.iterations
     )
     return u_opt, {"initial_cost": cost0, "final_cost": final_cost}

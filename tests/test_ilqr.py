@@ -1,4 +1,5 @@
 """iLQR refinement: cost must decrease on the tracking problem."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ def test_flatten_roundtrip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ilqr_reduces_tracking_cost():
     clips = _clip()
     params = engine.PhysicsParams(substeps=2)

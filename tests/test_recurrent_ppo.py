@@ -1,4 +1,5 @@
 """Recurrent PPO end-to-end: EPMC policy trains on the playground env."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from lifelike_tpu.models.epmc import EPMCNet
 from lifelike_tpu.scene import playground_gen
 
 
+@pytest.mark.slow
 def test_epmc_recurrent_learner_step_runs():
     bundle = factory.create_playground_game(
         control_freq=250.0,  # substeps=2 to keep the CPU test fast

@@ -5,6 +5,7 @@ Pins the TPU-native replacement for the reference learner's replay pipeline
 run_pg_learner.py:36,42-43) implemented as a device-resident circular buffer
 in learning/replay.py + learner.learner_step_replayed.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +61,7 @@ def test_replay_sample_shapes_and_bounds():
     assert tm["x"].shape == (4, 32, 4)
 
 
+@pytest.mark.slow
 def test_learner_step_replayed_end_to_end():
     from lifelike_tpu.envs import primitive
     from lifelike_tpu.learning import learner

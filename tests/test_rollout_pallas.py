@@ -1,4 +1,5 @@
 """Fused Pallas rollout must agree with the scanned XLA rollout."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +44,7 @@ def _setup(H=3, Bs=8, substeps=2, mass_freeze=1):
     return c, params, tl, u, ref
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_exact():
     c, params, tl, u, ref = _setup(mass_freeze=1)
     want, _ = jax.jit(
@@ -54,6 +56,7 @@ def test_fused_matches_scan_exact():
     )
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_frozen_mass():
     c, params, tl, u, ref = _setup(substeps=4, mass_freeze=4)
     def scan_frozen(s, u):

@@ -1,4 +1,5 @@
 """Scalar-constant dynamics (ops.scalar_phys) vs tile-layout oracle."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,9 +53,11 @@ def _compare(mass_freeze, steps, tol):
         np.testing.assert_allclose(vb, va, rtol=tol, atol=tol, err_msg=name)
 
 
+@pytest.mark.slow
 def test_scalar_matches_oracle_exact():
     _compare(mass_freeze=1, steps=3, tol=5e-4)
 
 
+@pytest.mark.slow
 def test_scalar_matches_oracle_frozen():
     _compare(mass_freeze=5, steps=3, tol=5e-4)

@@ -1,4 +1,5 @@
 """SEPMC self-play training step + league integration."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ from lifelike_tpu.learning.learner import PPOConfig, make_optimizer
 from lifelike_tpu.models.sepmc import SEPMCNet
 
 
+@pytest.mark.slow
 def test_sepmc_selfplay_learner_step():
     bundle = factory.create_chase_tag_game(
         control_freq=250.0,  # substeps=2 for CPU speed

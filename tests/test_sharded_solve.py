@@ -76,6 +76,7 @@ def test_sharded_weighting_matches_reassociated_math():
     np.testing.assert_allclose(parts / denom, dense_w, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_hybrid_refines_across_mesh():
     """Stage-2 refinement: per-device iLQR polish of the weighted u and the
     device-local best candidate, globally argmin-selected over ICI. The

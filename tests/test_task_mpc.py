@@ -6,6 +6,7 @@ the behavioral spec, reference playground_env.py:479-539), and (3) MPPI over
 the terrain/chase rollouts actually improves cost / closes distance on
 randomized scenes — the integration the round-1 review flagged as missing.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,6 +162,7 @@ def test_traversal_solve_improves_cost():
     assert np.all(np.isfinite(np.asarray(u_exec)))
 
 
+@pytest.mark.slow
 def test_chase_solver_closes_distance():
     """Chaser's optimized plan must end nearer a standing opponent than the
     zero plan; escapee's must end farther."""

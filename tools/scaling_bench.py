@@ -1,0 +1,110 @@
+"""Weak-scaling proxy for the sharded MPC solve (BASELINE.md row 4).
+
+Real multi-chip hardware is not reachable from this container, so the
+scaling-efficiency measurement the baseline demands (solves/s/chip at
+1 chip / 1 host / N hosts) is proxied on a virtual CPU mesh: the SAME
+shard_map program that runs on a pod slice (parallel.sharded_solve — psum
+softmax weighting, per-device population shards) is timed at n_devices in
+{1, 2, 4, 8} with the population scaled proportionally (weak scaling).
+Ideal weak scaling keeps the per-solve wall time flat; the printed
+efficiency is t(1) / t(n). On real ICI the collectives are faster relative
+to compute than on a shared-memory CPU "mesh", so this proxy UNDERSTATES
+pod efficiency.
+
+Prints one JSON line per mesh size:
+  {"metric": "weak_scaling_n{n}", "value": <ms/solve>,
+   "unit": "ms", "vs_baseline": <efficiency vs n=1>}
+
+Run standalone:
+  python tools/scaling_bench.py
+Sizes via env: SCALE_POP_PER_DEV (default 512), SCALE_HORIZON (default 10),
+SCALE_SUBSTEPS (default 10), SCALE_REPS (default 3).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.parallel import mesh as meshlib
+    from lifelike_tpu.parallel import sharded_solve
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine
+    from lifelike_tpu.physics.dynamics import RobotState
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.solver import mppi
+
+    pop_per_dev = int(os.environ.get("SCALE_POP_PER_DEV", 512))
+    horizon = int(os.environ.get("SCALE_HORIZON", 10))
+    substeps = int(os.environ.get("SCALE_SUBSTEPS", 10))
+    reps = int(os.environ.get("SCALE_REPS", 3))
+
+    model = build_max_model()
+    clip_path = "/root/reference/data/mocap_data/dog_quad_walkrun_001_ret.txt"
+    if os.path.exists(clip_path):
+        clips = motion_lib.load_clips(clip_path)
+    else:
+        clips = motion_lib.pack_clips(
+            [motion_lib.make_synthetic_clip(240)], frame_step=1.0 / 120.0
+        )
+    params = engine.PhysicsParams(substeps=substeps,
+                                  mass_freeze=substeps)
+    c = B.tl_constants(model, dtype=jnp.float32)
+    stand = jnp.asarray([-0.028, -0.779, 1.687] * 4, jnp.float32)
+    rs = RobotState(
+        base_pos=jnp.array([0.0, 0.0, 0.33], jnp.float32),
+        base_orn=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        base_lin_vel=jnp.zeros(3, jnp.float32),
+        base_ang_vel=jnp.zeros(3, jnp.float32),
+        joint_pos=stand,
+        joint_vel=jnp.zeros(12, jnp.float32),
+    )
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], rs))
+
+    t1 = None
+    for n in (1, 2, 4, 8):
+        mesh = meshlib.make_mesh(n)
+        cfg = mppi.MPPIConfig(horizon=horizon, population=n * pop_per_dev,
+                              iterations=1)
+        solve = sharded_solve.make_sharded_solver(
+            mesh, model, c, params, clips, cfg
+        )
+        args = (
+            jax.random.PRNGKey(0), tl,
+            jnp.zeros((horizon, 4, 3), jnp.float32),
+            jnp.asarray(0), jnp.asarray(0.5, jnp.float32),
+        )
+        u, diag = solve(*args)  # compile + warmup
+        jax.block_until_ready(u)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            u, diag = solve(*args)
+            jax.block_until_ready(u)
+            ts.append(time.perf_counter() - t0)
+        ms = float(np.min(ts) * 1e3)
+        if t1 is None:
+            t1 = ms
+        print(json.dumps({
+            "metric": f"weak_scaling_n{n}_pop{n * pop_per_dev}_H{horizon}",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(t1 / ms, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
