@@ -14,6 +14,10 @@ it prints one line per row of the full matrix:
                SDF contact (BASELINE.json config 3)
   sepmc        two-robot Chase-Tag alternating-best-response solve in the V4
                arena (BASELINE.json config 4); per-robot population pop/2
+  sepmc_sweep  pod-scale SEPMC scenario sweep (BASELINE.json config 5):
+               BENCH_SWEEP_S randomized arenas x one BR round each, vmapped
+               on this chip — the per-shard slice of
+               parallel.scenario_sweep.sharded_scenario_sweep
   hybrid       MPPI->iLQR hybrid (sampling + Pallas-Riccati SQP polish of the
                weighted u + top-7 candidates): latency row + relative
                cost-improvement row vs the pure-MPPI seed
@@ -345,6 +349,58 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze):
     return f"sepmc_br_solve_latency_pop2x{pop_r}_H{horizon}", ms
 
 
+def bench_sweep(pop, horizon, substeps, reps, m_hi, mass_freeze, n_scen=16):
+    """Pod-scale SEPMC scenario sweep (BASELINE config 5), single-chip slice:
+    n_scen randomized arenas, each running an alternating-best-response round
+    (pop per robot per scenario), chained M rounds deep with warm starts.
+    On a pod the scenario axis shards over the mesh
+    (parallel.scenario_sweep.sharded_scenario_sweep); the per-chip work timed
+    here is exactly one shard's, so ms/round/chip is the scaling unit."""
+    from lifelike_tpu.parallel import scenario_sweep
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.physics import engine
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.scene import arena_gen
+    from lifelike_tpu.solver import mppi
+
+    model = build_max_model()
+    params = engine.PhysicsParams(
+        kd=1.0, max_tau=16.0, substeps=substeps, mass_freeze=mass_freeze
+    )
+    cfg = mppi.MPPIConfig(
+        horizon=horizon, population=pop, iterations=1, sigma=0.15
+    )
+    c = B.tl_constants(model, dtype=jnp.float32)
+    scen = scenario_sweep.generate_scenarios(
+        jax.random.PRNGKey(11), n_scen,
+        arena_gen.ArenaConfig(rand_cube=True), dtype=jnp.float32,
+    )
+
+    # Tiled sweep (scenarios as tile rows — the vmap-of-scan form compiles
+    # minutes-slow on the TPU backend); a traced fori_loop trip count lets
+    # ONE compilation serve both chain lengths of the slope.
+    @jax.jit
+    def f(key, u0, M):
+        def body(i, carry):
+            uw, _ = carry
+            k = jax.random.fold_in(key, i)
+            u, cost = scenario_sweep.sweep_scenarios_tiled(
+                c, params, cfg, k, scen, u_warm=uw
+            )
+            return u, jnp.mean(cost)
+
+        return jax.lax.fori_loop(
+            0, M, body, (u0, jnp.asarray(0.0, jnp.float32))
+        )
+
+    def chained(M):
+        return lambda key, u0: f(key, u0, jnp.asarray(M, jnp.int32))
+
+    u0 = jnp.zeros((n_scen, 2, horizon, 4, 3), jnp.float32)
+    ms = _slope_ms(chained, (jax.random.PRNGKey(0), u0), reps, m_hi)
+    return f"sepmc_sweep_latency_s{n_scen}_pop{pop}_H{horizon}", ms
+
+
 def main():
     pop = int(os.environ.get("BENCH_POP", 4096))
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
@@ -386,6 +442,12 @@ def main():
     emit(name, ms_e)
     name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
     emit(name, ms_s)
+    sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))
+    sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 16, 128)))
+    name, ms_w = bench_sweep(
+        sweep_pop, horizon, substeps, reps, m_hi, mass_freeze, sweep_s
+    )
+    emit(name, ms_w)
     # The hybrid's value is SAMPLE efficiency: at large populations the MPPI
     # weighted u is already near-optimal, so the refinement row runs at a
     # quarter population where second-order polish visibly beats sampling

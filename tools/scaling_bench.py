@@ -104,6 +104,48 @@ def main():
             "vs_baseline": round(t1 / ms, 4),
         }), flush=True)
 
+    # SEPMC scenario-sweep weak scaling (BASELINE config 5): scenario count
+    # grows with the mesh, per-chip shard constant. Scenarios never
+    # communicate, so this measures pure shard_map + summary-psum overhead.
+    from lifelike_tpu.parallel import scenario_sweep
+    from lifelike_tpu.scene import arena_gen
+
+    scen_per_dev = int(os.environ.get("SCALE_SCEN_PER_DEV", 2))
+    sweep_pop = int(os.environ.get("SCALE_SWEEP_POP", 64))
+    params_s = engine.PhysicsParams(kd=1.0, max_tau=16.0, substeps=substeps,
+                                    mass_freeze=substeps)
+    t1 = None
+    for n in (1, 2, 4, 8):
+        mesh = meshlib.make_mesh(n)
+        cfg = mppi.MPPIConfig(horizon=horizon, population=sweep_pop,
+                              iterations=1, sigma=0.15)
+        n_scen = n * scen_per_dev
+        scen = scenario_sweep.generate_scenarios(
+            jax.random.PRNGKey(5), n_scen,
+            arena_gen.ArenaConfig(rand_cube=True), dtype=jnp.float32,
+        )
+        sweep = jax.jit(
+            lambda k, s, mesh=mesh, cfg=cfg:
+            scenario_sweep.sharded_scenario_sweep(mesh, c, params_s, cfg, k, s)
+        )
+        u, cost, summary = sweep(jax.random.PRNGKey(0), scen)
+        jax.block_until_ready(u)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            u, cost, summary = sweep(jax.random.PRNGKey(0), scen)
+            jax.block_until_ready(u)
+            ts.append(time.perf_counter() - t0)
+        ms = float(np.min(ts) * 1e3)
+        if t1 is None:
+            t1 = ms
+        print(json.dumps({
+            "metric": f"sweep_weak_scaling_n{n}_s{n_scen}_pop{sweep_pop}",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(t1 / ms, 4),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
