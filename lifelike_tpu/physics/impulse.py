@@ -1,0 +1,325 @@
+"""Hard-contact mode: velocity-level projected Gauss-Seidel impulses, in JAX.
+
+The compliant penalty model in physics/contact.py is the fast MPPI sampling
+path, but it diverges from Bullet's hard sequential-impulse contact over long
+horizons (walk ~0.33 rad, run ~1.0 rad max error over H=50 in round 2). This
+module is the fidelity mode: the exact solver discipline of Bullet's
+btSequentialImpulseConstraintSolver (reference legged_robot.py:260-264 —
+10 solver iterations, 1 substep, g=9.80665), implemented as a fixed-structure
+batched JAX program so it jits, vmaps and shards like the rest of the engine:
+
+  * unconstrained velocity step via the leg-structured CRBA/RNEA in
+    physics/dynamics.py (PD torque per reference legged_robot.py:119-148 plus
+    URDF joint damping; Coulomb joint friction and joint limits are impulse
+    rows, matching how Bullet treats URDF <dynamics> tags),
+  * a STATIC 60-row constraint system — 8 contact spheres (4 feet, 4 wheels)
+    x (normal + 2 tangent) + per-joint (friction, lower-limit, upper-limit)
+    rows — where inactive rows are clamped to zero impulse, which makes the
+    Gauss-Seidel sweep bit-equivalent to iterating only the active rows in
+    the same order (tools/bullet_oracle.py builds the compacted row list),
+  * Baumgarte stabilization erp=0.2, box friction clamped to mu*lambda_n,
+    impulse warm starting carried across substeps in the solver state.
+
+Cross-validated to float precision against tools/bullet_oracle.py (an
+independent dense-mass-matrix implementation) in tests/test_impulse_contact.py;
+measured against the committed hard-contact golden traces it closes the
+BASELINE.md north-star criterion (<1e-2 rad over H=50) that the compliant
+mode cannot meet.
+
+Flat-ground only (the fidelity criterion's setting); box scenes stay on the
+compliant path.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lifelike_tpu.math import quat
+from lifelike_tpu.math.spatial import skew
+from lifelike_tpu.physics import dynamics
+from lifelike_tpu.physics.dynamics import RobotState
+
+NV = 18  # 3 ang + 3 lin + 12 joints (generalized velocity [w, v_origin, qd])
+N_SPHERES = 8  # 4 feet (link 2) + 4 wheels (link 1)
+N_CONTACT_ROWS = 3 * N_SPHERES  # normal, tangent-x, tangent-y per sphere
+N_JOINT_ROWS = 3 * 12  # friction, lower-limit, upper-limit per joint
+N_ROWS = N_CONTACT_ROWS + N_JOINT_ROWS  # 60
+
+# Row index of the normal row each friction/tangent row couples to (-1: none).
+_MU_IDX = np.full(N_ROWS, -1, np.int32)
+for _s in range(N_SPHERES):
+    _MU_IDX[3 * _s + 1] = 3 * _s
+    _MU_IDX[3 * _s + 2] = 3 * _s
+
+
+class ImpulseParams(NamedTuple):
+    """Hard-contact stepping configuration (reference legged_robot.py:240-264
+    values; broadcastable leaves for per-episode randomization)."""
+
+    kp: jnp.ndarray = 50.0
+    kd: jnp.ndarray = 0.5
+    max_tau: jnp.ndarray = 18.0
+    mu: jnp.ndarray = 0.5  # contact friction (reference foot friction 0.5)
+    dt: float = 1.0 / 500.0
+    substeps: int = 10
+    iterations: int = 10  # Bullet numSolverIterations
+    erp: float = 0.2
+    slop: float = 0.0
+    ext_force: jnp.ndarray = np.zeros(3, np.float32)  # PushRandomizer parity
+
+
+def init_lam(batch_shape=(), dtype=jnp.float32):
+    """Zero warm-start impulses; carry through control_step calls."""
+    return jnp.zeros(batch_shape + (N_ROWS,), dtype)
+
+
+def _minv_apply_rows(Mb, F, Ml, rows, reg=1e-9):
+    """Apply M^{-1} to n stacked generalized-force rows via the leg-structured
+    Schur factorization (factor once, solve all rows).
+
+    rows: (..., n, 18). Returns (..., n, 18).
+    """
+    Ml_inv = jnp.linalg.inv(Ml + jnp.eye(3, dtype=Ml.dtype) * reg)  # (...,4,3,3)
+    FtMinv = jnp.einsum("...lij,...lja->...lia", Ml_inv, F)  # (...,4,3,6)
+    Schur = Mb - jnp.einsum("...lja,...ljb->...ab", F, FtMinv)
+    Schur = Schur + jnp.eye(6, dtype=Mb.dtype) * reg
+
+    rhs_b = rows[..., :, :6]  # (..., n, 6)
+    rhs_j = rows[..., :, 6:].reshape(rows.shape[:-1] + (4, 3))  # (..., n, 4, 3)
+    rhs = rhs_b - jnp.einsum("...lja,...nlj->...na", FtMinv, rhs_j)
+    a_b = jnp.linalg.solve(Schur, jnp.swapaxes(rhs, -1, -2))  # (..., 6, n)
+    a_b = jnp.swapaxes(a_b, -1, -2)  # (..., n, 6)
+    qdd = jnp.einsum(
+        "...lij,...nlj->...nli",
+        Ml_inv,
+        rhs_j - jnp.einsum("...lja,...na->...nlj", F, a_b),
+    )
+    return jnp.concatenate(
+        [a_b, qdd.reshape(qdd.shape[:-2] + (12,))], axis=-1
+    )
+
+
+def _point_rows(kin, base_pos, p, leg_link_mask):
+    """Point-velocity Jacobian rows (..., 3, 18) of world points fixed to leg
+    links: v_p = v_origin + w x (p - base) + sum_{i<=link} qd_i a_i x (p - p_i).
+
+    p: (..., 4, 3) one point per leg; leg_link_mask: (3,) 1.0 for joints at or
+    above the attachment link. Returns (..., 4, 3rows, 18) with rows = the
+    x/y/z components of the point velocity.
+    """
+    dtype = p.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    J_ang = -skew(p - base_pos[..., None, :])  # (..., 4, 3, 3)
+    J_lin = jnp.broadcast_to(eye, J_ang.shape)
+    # joint columns: (..., 4legs, 3joints, 3comp)
+    Jq = jnp.cross(kin.axis_w, p[..., :, None, :] - kin.p_joint)
+    Jq = Jq * leg_link_mask[:, None]
+    # assemble (..., 4, 3comp, 18): per leg only its own 3 joint columns are
+    # nonzero; scatter into the 12-joint block with a static one-hot.
+    leg_sel = jnp.asarray(np.eye(4), dtype)  # (4 legs, 4 slots)
+    Jq_full = jnp.einsum("...ljc,lm->...lcmj", Jq, leg_sel)  # (...,4,3,4,3)
+    Jq_full = Jq_full.reshape(Jq_full.shape[:-2] + (12,))
+    return jnp.concatenate([J_ang, J_lin, Jq_full], axis=-1)
+
+
+def _build_rows(model, p: ImpulseParams, state: RobotState, kin):
+    """Assemble the static 60-row system: J (..., 60, 18), b, lo, hi (..., 60).
+
+    Row order matches tools/bullet_oracle.py's compacted active list exactly
+    (feet then wheels, each n/t1/t2; then per joint friction, lower, upper),
+    with inactive rows clamped lo=hi=0 so their Gauss-Seidel updates are
+    no-ops — bit-equivalent to skipping them.
+    """
+    dtype = state.base_pos.dtype
+    dt = p.dt
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    mask_foot = jnp.asarray([1.0, 1.0, 1.0], dtype)  # link 2: all 3 joints
+    mask_wheel = jnp.asarray([1.0, 1.0, 0.0], dtype)  # link 1: joints 0,1
+    Jf = _point_rows(kin, state.base_pos, kin.p_foot, mask_foot)  # (...,4,3,18)
+    Jw = _point_rows(kin, state.base_pos, kin.p_wheel, mask_wheel)
+
+    def sphere_rows(Jp, pts, radius):
+        pen = radius - pts[..., 2]  # (..., 4)
+        active = pen > 0.0
+        b_n = p.erp * jnp.maximum(pen - p.slop, 0.0) / dt * active
+        # rows per sphere: [z (normal), x, y]
+        Jrows = jnp.stack(
+            [Jp[..., :, 2, :], Jp[..., :, 0, :], Jp[..., :, 1, :]], axis=-2
+        )  # (..., 4, 3, 18)
+        zero = jnp.zeros_like(b_n)
+        b = jnp.stack([b_n, zero, zero], axis=-1)  # (..., 4, 3)
+        lo = jnp.zeros_like(b)  # tangent bounds come from mu*lam_n in the sweep
+        hi = jnp.stack([jnp.where(active, inf, 0.0), zero, zero], axis=-1)
+        return Jrows, b, lo, hi
+
+    Jf_r, bf, lof, hif = sphere_rows(Jf, kin.p_foot, model.foot_radius)
+    Jw_r, bw, lo_w, hi_w = sphere_rows(Jw, kin.p_wheel, model.wheel_radius)
+
+    # joint rows: friction (bilateral box +-fric*dt), lower limit, upper limit
+    q = state.joint_pos
+    fric = jnp.asarray(model.joint_friction, dtype).reshape(-1)
+    lower = jnp.asarray(model.joint_lower_flat, dtype)
+    upper = jnp.asarray(model.joint_upper_flat, dtype)
+    eyeNV = jnp.eye(NV, dtype=dtype)
+    e_j = eyeNV[6:]  # (12, 18)
+    batch = q.shape[:-1]
+    e_j = jnp.broadcast_to(e_j, batch + (12, NV))
+
+    lim = fric * dt
+    zero12 = jnp.zeros(batch + (12,), dtype)
+    J_fric, b_fric = e_j, zero12
+    lo_fric = jnp.broadcast_to(-lim, batch + (12,))
+    hi_fric = jnp.broadcast_to(lim, batch + (12,))
+
+    low_act = q < lower
+    J_low, b_low = e_j, p.erp * (lower - q) / dt * low_act
+    lo_low = zero12
+    hi_low = jnp.where(low_act, inf, 0.0)
+
+    up_act = q > upper
+    J_up, b_up = -e_j, p.erp * (q - upper) / dt * up_act
+    lo_up = zero12
+    hi_up = jnp.where(up_act, inf, 0.0)
+
+    J_joint = jnp.stack([J_fric, J_low, J_up], axis=-2)  # (..., 12, 3, 18)
+    b_joint = jnp.stack([b_fric, b_low, b_up], axis=-1)  # (..., 12, 3)
+    lo_joint = jnp.stack([lo_fric, lo_low, lo_up], axis=-1)
+    hi_joint = jnp.stack([hi_fric, hi_low, hi_up], axis=-1)
+
+    def flat(x, tail):
+        return x.reshape(x.shape[: len(batch)] + tail)
+
+    J = jnp.concatenate(
+        [flat(Jf_r, (12, NV)), flat(Jw_r, (12, NV)), flat(J_joint, (36, NV))],
+        axis=-2,
+    )
+    b = jnp.concatenate(
+        [flat(bf, (12,)), flat(bw, (12,)), flat(b_joint, (36,))], axis=-1
+    )
+    lo = jnp.concatenate(
+        [flat(lof, (12,)), flat(lo_w, (12,)), flat(lo_joint, (36,))], axis=-1
+    )
+    hi = jnp.concatenate(
+        [flat(hif, (12,)), flat(hi_w, (12,)), flat(hi_joint, (36,))], axis=-1
+    )
+    return J, b, lo, hi
+
+
+def _pgs(p: ImpulseParams, v, lam0, J, MinvJT, d, b, lo, hi):
+    """Projected Gauss-Seidel, rows unrolled (static order = oracle order).
+
+    v: (..., 18) free velocity AFTER warm-start impulses were applied.
+    Returns (v, lam).
+    """
+    mu = jnp.asarray(p.mu, v.dtype)
+
+    def sweep(carry, _):
+        v, lam = carry
+        for i in range(N_ROWS):
+            dv = b[..., i] - jnp.einsum("...k,...k->...", J[..., i, :], v)
+            dl = dv / jnp.maximum(d[..., i], 1e-12)
+            if _MU_IDX[i] >= 0:
+                bound = mu * jnp.maximum(lam[..., _MU_IDX[i]], 0.0)
+                lo_i, hi_i = -bound, bound
+            else:
+                lo_i, hi_i = lo[..., i], hi[..., i]
+            new = jnp.clip(lam[..., i] + dl, lo_i, hi_i)
+            delta = new - lam[..., i]
+            lam = lam.at[..., i].set(new)
+            v = v + MinvJT[..., i, :] * delta[..., None]
+        return (v, lam), None
+
+    (v, lam), _ = jax.lax.scan(sweep, (v, lam0), None, length=p.iterations)
+    return v, lam
+
+
+def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
+    """One 500 Hz hard-contact substep. lam: (..., 60) warm-start impulses
+    from the previous substep. Returns (state, lam)."""
+    dtype = state.base_pos.dtype
+    dt = p.dt
+    kin = dynamics.forward_kinematics(model, state)
+    origin = state.base_pos
+
+    # PD + joint damping only; Coulomb friction / limits are impulse rows
+    # (reference legged_robot.py:126-141; Bullet treats URDF joint friction as
+    # a zero-velocity motor with force limit).
+    tgt = jnp.clip(target_q, -3.0, 3.0)
+    tau_j = p.kp * (tgt - state.joint_pos) + p.kd * (0.0 - state.joint_vel)
+    tau_j = jnp.clip(tau_j, -p.max_tau, p.max_tau)
+    tau_j = tau_j - jnp.asarray(model.joint_damping, dtype).reshape(-1) * state.joint_vel
+    tau_j = tau_j.reshape(state.joint_pos.shape[:-1] + (4, 3))
+
+    ext = jnp.broadcast_to(jnp.asarray(p.ext_force, dtype), state.base_pos.shape)
+    tau_b = jnp.concatenate([jnp.zeros_like(ext), ext], axis=-1)
+
+    bias_b, bias_j = dynamics.bias_forces(model, kin, state, origin)
+    Mb, F, Ml = dynamics.mass_matrix_blocks(model, kin, origin, state.base_pos)
+    a_base, qdd = dynamics.forward_dynamics(Mb, F, Ml, tau_b - bias_b, tau_j - bias_j)
+
+    # spatial -> point acceleration of the base origin, then explicit step of
+    # the generalized velocity [w, v_origin, qd]
+    w = state.base_ang_vel
+    a_lin = a_base[..., 3:] + jnp.cross(w, state.base_lin_vel)
+    v_free = jnp.concatenate(
+        [
+            w + a_base[..., :3] * dt,
+            state.base_lin_vel + a_lin * dt,
+            state.joint_vel + qdd.reshape(state.joint_vel.shape) * dt,
+        ],
+        axis=-1,
+    )
+
+    J, b, lo, hi = _build_rows(model, p, state, kin)
+    MinvJT = _minv_apply_rows(Mb, F, Ml, J)  # (..., 60, 18)
+    d = jnp.einsum("...ni,...ni->...n", J, MinvJT)
+
+    # warm start: rows inactive now contribute nothing and re-clamp to 0
+    # (hi==lo==0 for them), mirroring the oracle's per-substep key rebuild.
+    lam0 = jnp.where((hi > 0.0) | (lo < 0.0) | (_MU_IDX >= 0), lam, 0.0)
+    # tangent warm impulses only when their sphere is active this substep
+    normal_hi = hi[..., np.maximum(_MU_IDX, 0)]
+    lam0 = jnp.where((_MU_IDX >= 0) & (normal_hi <= 0.0), 0.0, lam0)
+    v = v_free + jnp.einsum("...nk,...n->...k", MinvJT, lam0)
+
+    v, lam = _pgs(p, v, lam0, J, MinvJT, d, b, lo, hi)
+
+    w_new = v[..., 0:3]
+    lin_new = v[..., 3:6]
+    qd_new = v[..., 6:]
+    return (
+        RobotState(
+            base_pos=state.base_pos + lin_new * dt,
+            base_orn=quat.integrate(state.base_orn, w_new, dt),
+            base_lin_vel=lin_new,
+            base_ang_vel=w_new,
+            joint_pos=state.joint_pos + qd_new * dt,
+            joint_vel=qd_new,
+        ),
+        lam,
+    )
+
+
+def control_step(model, p: ImpulseParams, state: RobotState, lam, target_q):
+    """One 50 Hz control step: `substeps` hard-contact substeps with a held
+    target (reference primitive_level_env.py:202-210). Returns (state, lam)."""
+
+    def body(carry, _):
+        s, l = carry
+        s, l = substep(model, p, s, l, target_q)
+        return (s, l), None
+
+    (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=p.substeps)
+    return state, lam
+
+
+def make_control_step(model, p: ImpulseParams):
+    """Jittable f((state, lam), target_q) -> (state, lam) closure."""
+
+    def step(carry, target_q):
+        return control_step(model, p, carry[0], carry[1], target_q)
+
+    return step

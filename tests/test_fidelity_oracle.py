@@ -1,8 +1,15 @@
-"""Fidelity vs the committed golden traces (north-star acceptance evidence).
+"""COMPLIANT-mode fidelity vs the committed golden traces.
 
 BASELINE.md criterion: control-sequence max joint error < 1e-2 rad vs the
-PyBullet-stepped reference (legged_robot.py:260-264 config). PyBullet is not
-installable in this image, so the committed traces
+PyBullet-stepped reference (legged_robot.py:260-264 config). The criterion is
+MET by the hard-contact impulse mode (physics/impulse.py,
+tests/test_impulse_contact.py: < 1e-5 rad in float64, < 1e-2 in float32 over
+H=50 on all traces). THIS suite tracks the fast compliant-penalty mode (the
+MPPI sampling path) against the same traces as regression ceilings — its
+divergence is an accepted speed/fidelity trade, bounded here so contact
+changes can't silently widen it.
+
+PyBullet is not installable in this image, so the committed traces
 (lifelike_tpu/data/oracle_traces/*.npz, regenerable by
 tools/make_oracle_traces.py — which uses real PyBullet when importable) come
 from tools.bullet_oracle: an independent hard-contact sequential-impulse

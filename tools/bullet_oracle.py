@@ -339,7 +339,10 @@ class BulletOracle:
                              "mu_link": -1})
                 key_ids.append(("jl", jdof, 0))
             elif qj > upper[jdof]:
-                b_u = self.erp * (upper[jdof] - qj) / dt
+                # J = -e so the row velocity is -qdot; Baumgarte pushback
+                # requires qdot <= -erp*(q-upper)/dt, i.e. -qdot >= b with
+                # b = erp*(q-upper)/dt > 0 while violated.
+                b_u = self.erp * (qj - upper[jdof]) / dt
                 rows.append({"J": -e, "b": b_u, "lo": 0.0, "hi": np.inf,
                              "mu_link": -1})
                 key_ids.append(("ju", jdof, 0))
