@@ -38,6 +38,12 @@ flags.DEFINE_string("init_model_subtree", "params/llc",
 flags.DEFINE_bool("freeze_init_subtree", True, "freeze loaded subtrees")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend (debug)")
+# Multi-host (reference run_pg_learner.py:76-85 Horovod ranks -> one SPMD
+# program over jax.distributed; see parallel/distributed.py). Flags default
+# to the LIFELIKE_* env contract set by tools/launch_multihost.py.
+flags.DEFINE_string("coordinator", "", "host:port of process 0")
+flags.DEFINE_integer("num_processes", 0, "total processes (0: env or 1)")
+flags.DEFINE_integer("process_id", -1, "this process's id (-1: env or 0)")
 flags.DEFINE_string("train_checkpoint", "",
                     "file for full learner-state checkpoints (resume-able)")
 flags.DEFINE_integer("save_interval", 50,
@@ -92,7 +98,15 @@ def _maybe_save(ckpt, i, **trees):
 
 def main(argv):
     del argv
-    if FLAGS.cpu:
+    from lifelike_tpu.parallel import distributed as dist
+
+    multi = dist.initialize(
+        coordinator=FLAGS.coordinator or None,
+        num_processes=FLAGS.num_processes or None,
+        process_id=FLAGS.process_id if FLAGS.process_id >= 0 else None,
+        cpu=FLAGS.cpu,
+    )
+    if FLAGS.cpu and not multi:
         jax.config.update("jax_platforms", "cpu")
     import optax
 
@@ -127,9 +141,27 @@ def main(argv):
         net = PMCNet(PMCConfig(**{k: v for k, v in pol_config.items()
                                   if k in PMCConfig._fields}))
         optimizer = learner.make_optimizer(cfg)
-        env_state, obs = bundle.reset(key, batch=(B,))
-        params = net.init(key, obs.prop, obs.prop_a, obs.future)
-        opt_state = optimizer.init(params)
+        nproc = jax.process_count()
+        if nproc > 1:
+            # Each process resets its local env shard (distinct seeds), the
+            # global batch is assembled across hosts, params replicated; the
+            # jitted learner step runs as ONE program over the global mesh
+            # with XLA inserting the DCN gradient all-reduce.
+            assert B % nproc == 0, (B, nproc)
+            mesh = dist.global_mesh()
+            env_state, obs = bundle.reset(
+                jax.random.fold_in(key, jax.process_index()),
+                batch=(B // nproc,),
+            )
+            params = net.init(key, obs.prop, obs.prop_a, obs.future)
+            opt_state = optimizer.init(params)
+            env_state = dist.host_local_batch(mesh, env_state)
+            params = dist.replicate(mesh, params)
+            opt_state = dist.replicate(mesh, opt_state)
+        else:
+            env_state, obs = bundle.reset(key, batch=(B,))
+            params = net.init(key, obs.prop, obs.prop_a, obs.future)
+            opt_state = optimizer.init(params)
         # prioritized clip resampling p ~ (1 - avg_reward)^factor (reference
         # primitive_level_env.py:236-240): probs updated host-side from the
         # per-clip episode stats the learner step accumulates on device
@@ -142,7 +174,9 @@ def main(argv):
                 params, opt_state, env_state, key, clip_probs=clip_probs,
             )
 
-        ckpt = _make_ckpt(registry)
+        ckpt = _make_ckpt(registry) if nproc == 1 else None
+        if nproc > 1 and FLAGS.train_checkpoint:
+            logging.warning("train_checkpoint disabled under multi-process")
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state, env_state=env_state
         )
@@ -156,13 +190,20 @@ def main(argv):
                 params, opt_state, env_state, k, sampler.probabilities
             )
             sampler.update_sums(
-                metrics.pop("clip_reward_sum"), metrics.pop("clip_ep_count")
+                dist.fetch(metrics.pop("clip_reward_sum")),
+                dist.fetch(metrics.pop("clip_ep_count")),
             )
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
                         env_state=env_state)
 
     elif FLAGS.task == "epmc":
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process training is wired for --task=pmc; shard the "
+                "recurrent learners the same way (dist.host_local_batch on "
+                "env_state/obs/hs/replay) to extend"
+            )
         from lifelike_tpu.models.epmc import EPMCConfig, EPMCNet
 
         bundle = factory.create_playground_game(**env_config)
@@ -223,6 +264,11 @@ def main(argv):
     elif FLAGS.task == "sepmc":
         # Self-play Chase Tag (reference example_sepmc_train.sh: PFSPGameMgr
         # over frozen historical models, init from the EPMC stage model).
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process training is wired for --task=pmc; shard the "
+                "recurrent learners the same way to extend"
+            )
         from lifelike_tpu.models.sepmc import SEPMCConfig, SEPMCNet
 
         bundle = factory.create_chase_tag_game(**env_config)
@@ -315,10 +361,15 @@ def main(argv):
 
 
 def _log_publish(i, metrics, t0, cfg, B, params, pool, league):
+    from lifelike_tpu.parallel import distributed as dist
+
     if i % FLAGS.log_interval == 0:
-        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        m = {k: float(dist.fetch(v).ravel()[0])
+             for k, v in metrics.items()}
         sps = cfg.unroll_length * B / (time.time() - t0)
         logging.info("update %d: %s | env steps/s %.0f", i, m, sps)
+    if jax.process_count() > 1 and not dist.is_main():
+        return
     if i % FLAGS.pub_interval == 0:
         key_name = f"model_{i:07d}"
         pool.push(key_name, params, meta={"update": i},

@@ -146,6 +146,30 @@ def main():
             "vs_baseline": round(t1 / ms, 4),
         }), flush=True)
 
+    # N>=2 HOSTS row (BASELINE.md scaling config): the same sharded solve as
+    # one SPMD program across 2 real OS processes joined by jax.distributed
+    # (gloo-over-localhost stands in for DCN; tests/test_multihost.py is the
+    # correctness harness). Subprocesses: a jax.distributed pod cannot be
+    # joined from within this already-initialized process.
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(here, "launch_multihost.py"),
+         "-n", "2", "--devices", "4", "--",
+         sys.executable, os.path.join(here, "multihost_worker.py"),
+         "--bench", "--pop_per_dev", str(max(pop_per_dev // 8, 16)),
+         "--horizon", str(horizon), "--substeps", str(substeps)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for ln in out.stdout.splitlines():
+        if ln.startswith("{"):
+            print(ln, flush=True)
+    if out.returncode != 0:
+        print(json.dumps({"metric": "multiproc_scaling_error",
+                          "value": out.returncode, "unit": "rc",
+                          "vs_baseline": 0.0}), flush=True)
+
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
