@@ -59,9 +59,12 @@ def generate_scenarios(
     dtype=jnp.float32,
 ) -> ScenarioBatch:
     """Sample n randomized scenarios: V4 arena per scenario, robots facing
-    off from opposite halves (reference randomize_init_states spawns the two
-    robots apart), flag uniform in the central region."""
-    k_arena, k_start, k_flag = jax.random.split(key, 3)
+    off from opposite halves (a deliberate richer spread than the reference's
+    randomize_init_states, which samples both robots uniformly in +-2 with no
+    separation constraint), flag uniform in the central region, and the
+    chaser role (with_flag) drawn per scenario like the reference's reset
+    (chase_tag_game_env.py: with_flag = np.random.randint(0, 2))."""
+    k_arena, k_start, k_flag, k_role = jax.random.split(key, 4)
     scenes = jax.vmap(lambda k: arena_gen.generate(k, arena_cfg, dtype))(
         jax.random.split(k_arena, n)
     )
@@ -96,7 +99,8 @@ def generate_scenarios(
         ],
         axis=-1,
     )
-    with_flag = jnp.broadcast_to(jnp.asarray([True, False]), (n, 2))
+    chaser0 = jax.random.bernoulli(k_role, 0.5, (n,))
+    with_flag = jnp.stack([chaser0, ~chaser0], axis=1)
     return ScenarioBatch(scenes, robots, flag, with_flag)
 
 
@@ -194,7 +198,7 @@ def _plan_traj(c, params, state_S: B.TLState, u_plan, ts_S):
 
 def sweep_scenarios_tiled(c, params, cfg: MPPIConfig, key,
                           scen: ScenarioBatch, u_warm=None,
-                          n_rounds: int = 1, lanes=None):
+                          n_rounds: int = 1):
     """The compiled-fast sweep: scenarios ARE tile rows, not a vmap axis.
 
     Each scenario's population fills (Bs, L) tiles; the S scenarios stack
@@ -211,18 +215,19 @@ def sweep_scenarios_tiled(c, params, cfg: MPPIConfig, key,
     Returns (u (S, 2, H, 4, 3), best_cost (S, 2)).
     """
     keys = jax.random.split(key, scen.flag_pos.shape[0])
-    return _tiled_from_keys(c, params, cfg, keys, scen, u_warm, n_rounds,
-                            lanes)
+    return _tiled_from_keys(c, params, cfg, keys, scen, u_warm, n_rounds)
 
 
 def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
-                     u_warm, n_rounds, lanes=None):
+                     u_warm, n_rounds):
     """sweep_scenarios_tiled with per-scenario keys supplied by the caller
     (the sharded sweep passes globally-indexed key shards)."""
     S = scen.flag_pos.shape[0]
     K, H = cfg.population, cfg.horizon
-    if lanes is None:
-        lanes = 128 if K % 128 == 0 else K
+    # lane choice MUST mirror mppi_tl.mppi_step's default: the documented
+    # RNG parity with sweep_scenarios depends on identical noise shapes
+    # (hence no lanes override here).
+    lanes = 128 if K % 128 == 0 else K
     assert K % lanes == 0, (K, lanes)
     Bs = K // lanes
     dtype = scen.flag_pos.dtype

@@ -50,7 +50,14 @@ class PhysicsParams(NamedTuple):
 _LIMIT_K = 300.0  # joint-limit spring (N m / rad)
 _LIMIT_D = 2.0
 _TGT_CLIP = 3.0  # reference legged_robot.py:126
-_TRUNK_RADIUS = 0.11  # trunk collision-proxy sphere (body box ~0.36x0.22x0.12)
+# Trunk collision proxy vs boxes: THREE r=0.11 spheres along the body x-axis
+# covering the ~0.36x0.22x0.12 trunk box (matches the trunk box SDF used for
+# Chase-Tag catch detection, envs/chase_tag.py TRUNK_HALF) — a corner-first
+# approach to a wall is repelled, unlike the old single base-origin sphere.
+_TRUNK_RADIUS = 0.11
+_TRUNK_OFFSETS = np.array(
+    [[-0.12, 0.0, 0.0], [0.0, 0.0, 0.0], [0.12, 0.0, 0.0]], np.float32
+)
 
 
 def pd_torques(model, params: PhysicsParams, joint_pos, joint_vel, target_q):
@@ -140,15 +147,25 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
     tau_j = tau_j + tj
 
     if scene is not None:
-        # Trunk collision proxy: one sphere at the base origin vs boxes only
-        # (the trunk never reaches the plane before a fall terminates). Acts
-        # at the base origin, so it maps to a pure base force.
-        f_base = sphere_boxes_force(
-            state.base_pos[..., None, :], state.base_lin_vel[..., None, :],
-            _TRUNK_RADIUS, scene.center, scene.half, scene.active,
+        # Trunk collision proxy: 3 spheres fixed to the base vs boxes only
+        # (the trunk never reaches the plane before a fall terminates).
+        # Forces map to a base wrench about the base origin.
+        offs_w = jnp.einsum(
+            "...ij,pj->...pi", kin.R_base,
+            jnp.asarray(_TRUNK_OFFSETS, state.base_pos.dtype),
+        )  # (..., 3sph, 3)
+        p_tr = state.base_pos[..., None, :] + offs_w
+        v_tr = state.base_lin_vel[..., None, :] + jnp.cross(
+            state.base_ang_vel[..., None, :], offs_w
+        )
+        f_tr = sphere_boxes_force(
+            p_tr, v_tr, _TRUNK_RADIUS, scene.center, scene.half, scene.active,
             params.contact, params.foot_friction,
-        )[..., 0, :]
-        tau_b = tau_b.at[..., 3:].add(f_base)
+        )  # (..., 3sph, 3)
+        tau_b = tau_b.at[..., :3].add(
+            jnp.sum(jnp.cross(offs_w, f_tr), axis=-2)
+        )
+        tau_b = tau_b.at[..., 3:].add(jnp.sum(f_tr, axis=-2))
 
     # External disturbance force on the base (PushRandomizer parity,
     # reference push_randomizer.py:56-99): world-frame force at base origin.

@@ -100,7 +100,7 @@ def sphere_boxes_force(pos, vel, radius, ts: TLScene, cp: ContactParams, mu):
     return jnp.sum(f * ts.active[None, :, None], axis=1)
 
 
-_TRUNK_RADIUS = 0.11  # matches engine._TRUNK_RADIUS
+from lifelike_tpu.physics.engine import _TRUNK_OFFSETS, _TRUNK_RADIUS  # noqa: E402  shared trunk proxy
 
 
 def pd_torques(c: TLConstants, params: PhysicsParams, joint_pos, joint_vel, target_q):
@@ -192,12 +192,26 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
     tau_j = tau_j + tj
 
     if scene is not None:
-        # Trunk proxy sphere at the base origin vs boxes (pure base force).
-        f_base = sphere_boxes_force(
-            s.base_pos[None], s.base_lin_vel[None], _TRUNK_RADIUS, scene,
-            params.contact, mu,
-        )[0]
-        tau_b = tau_b.at[3:].add(f_base)
+        # Trunk proxy: 3 spheres along the body x-axis vs boxes (matches
+        # engine._TRUNK_OFFSETS / the chase_tag catch trunk box) -> base
+        # wrench about the base origin.
+        dtype = s.base_pos.dtype
+        offs = jnp.asarray(_TRUNK_OFFSETS, dtype)  # (P, 3)
+        offs_w = [
+            jnp.einsum("ij...,j->i...", kin.R_base, offs[p])
+            for p in range(offs.shape[0])
+        ]  # each (3, Bs, L)
+        pos = jnp.stack([s.base_pos + o for o in offs_w])
+        vel = jnp.stack([
+            s.base_lin_vel + quat_tl.cross(s.base_ang_vel, o) for o in offs_w
+        ])
+        f_tr = sphere_boxes_force(
+            pos, vel, _TRUNK_RADIUS, scene, params.contact, mu
+        )  # (P, 3, Bs, L)
+        tau_b = tau_b.at[3:].add(jnp.sum(f_tr, axis=0))
+        tau_b = tau_b.at[:3].add(sum(
+            quat_tl.cross(o, f_tr[p]) for p, o in enumerate(offs_w)
+        ))
 
     ext = jnp.broadcast_to(
         jnp.reshape(jnp.asarray(params.ext_force, s.base_pos.dtype), (3, 1, 1)),

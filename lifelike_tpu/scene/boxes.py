@@ -156,6 +156,38 @@ def nearest_boxes(scene: BoxScene, pos, k):
     )
 
 
+def nearest_boxes_corridor(scene: BoxScene, p0, p1, k):
+    """Fixed-size sub-scene of the k active boxes nearest the SEGMENT p0->p1.
+
+    Horizon-aware pruning for receding-horizon solves: `nearest_boxes` ranks
+    by distance to the solve-time position, so at 3 m/s an H=50 (1 s) rollout
+    can travel past every selected box and upcoming obstacles become
+    invisible to the solve. Ranking by distance to the reachable corridor
+    (current position -> expected end-of-horizon position) keeps obstacles
+    ahead in the contact set even when clutter behind the robot is closer.
+    p0/p1: (3,) world points (z ignored; ranking is 2D like nearest_boxes).
+    """
+    a = p0[:2]
+    seg = p1[:2] - a
+    seg_len2 = jnp.sum(seg * seg) + 1e-12
+    # closest point of the segment to each box center, then box distance to it
+    t = jnp.clip(
+        jnp.einsum("...i,i->...", scene.center[..., :2] - a, seg) / seg_len2,
+        0.0, 1.0,
+    )
+    q = a + t[..., None] * seg  # (..., N, 2)
+    d = jnp.abs(q - scene.center[..., :2]) - scene.half[..., :2]
+    dist = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    dist = jnp.where(scene.active, dist, jnp.inf)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return BoxScene(
+        center=scene.center[idx],
+        half=scene.half[idx],
+        active=scene.active[idx] & jnp.isfinite(neg),
+        target_pos=scene.target_pos,
+    )
+
+
 def terrain_height_fn(scene: BoxScene):
     """Adapter for the physics engines: p (..., 3) -> (heights, normals).
 

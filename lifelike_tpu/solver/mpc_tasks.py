@@ -40,7 +40,17 @@ def make_traversal_controller(model, c, params, cfg: MPPIConfig,
 
     @jax.jit
     def controller(key, robot_state, scene, target_pos, target_spd, u_warm):
-        sub = boxes.nearest_boxes(scene, robot_state.base_pos, contact_k)
+        # prune along the reachable corridor, not the current position: at
+        # target speeds up to 3 m/s the H-step rollout travels past boxes
+        # that are nearest NOW, so rank by distance to the segment
+        # [pos, pos + min(dist_to_target, spd*H*dt) * dir].
+        p0 = robot_state.base_pos
+        to_tgt = target_pos[:2] - p0[:2]
+        d_tgt = jnp.linalg.norm(to_tgt) + 1e-9
+        policy_dt = params.dt * params.substeps
+        reach = jnp.minimum(d_tgt, target_spd * cfg.horizon * policy_dt)
+        p1 = p0.at[:2].add(to_tgt / d_tgt * reach)
+        sub = boxes.nearest_boxes_corridor(scene, p0, p1, contact_k)
         ts = engine_tl.tl_scene(sub)
         tl = _tl_single(robot_state)
 

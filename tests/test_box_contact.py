@@ -175,3 +175,31 @@ def test_nearest_boxes_pruning():
              zip(np.asarray(sub.center), np.asarray(sub.active)) if a}
     for i in np.where(near)[0]:
         assert tuple(np.round(np.asarray(scene.center[i]), 6)) in sub_c
+
+
+def test_trunk_corner_repelled_by_wall():
+    """The trunk proxy is 3 spheres spanning the body (engine._TRUNK_OFFSETS):
+    a wall that only the trunk's FRONT overlaps (0.2 m ahead of the base
+    origin — beyond the old single r=0.11 origin sphere, within the +0.12
+    sphere's reach of 0.23) must push the base back."""
+    scene = boxes.BoxScene(
+        center=jnp.asarray([[0.45, 0.0, 0.5]], jnp.float64),
+        half=jnp.asarray([[0.25, 2.0, 0.5]], jnp.float64),  # face at x=0.2
+        active=jnp.ones(1, bool),
+        target_pos=jnp.zeros(3, jnp.float64),
+    )
+    s = _stand_state(pos=(0.0, 0.0, 0.33), vel=(0.5, 0.0, 0.0))
+    params = engine.PhysicsParams()
+    s1 = engine.substep(MODEL, params, s, _STAND_Q, scene=scene)
+    # the wall face at x=0.2 is outside the old origin sphere (r=0.11): the
+    # front trunk sphere must still produce a -x force (decelerating dv < a
+    # free step's) and a pitch torque about y
+    free = engine.substep(MODEL, params, s, _STAND_Q, scene=None)
+    assert float(s1.base_lin_vel[0]) < float(free.base_lin_vel[0])
+    # and the tile layout agrees
+    c = B.tl_constants(MODEL, dtype=jnp.float64)
+    tl = B.tl_from_state(jax.tree.map(lambda x: x[None], s))
+    ts = engine_tl.tl_scene(scene)
+    tl1 = engine_tl.substep(c, params, tl, _STAND_Q.reshape(4, 3)[..., None, None],
+                            scene=ts)
+    assert abs(float(tl1.base_lin_vel[0, 0, 0]) - float(s1.base_lin_vel[0])) < 1e-7

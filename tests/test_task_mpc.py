@@ -207,3 +207,65 @@ def test_chase_solver_closes_distance():
         (final_pos(escapee, jnp.zeros((H, 4, 3))) - chas0)[:2]
     )
     assert float(e_opt) > float(e_zero), (e_opt, e_zero)
+
+
+def test_corridor_prune_sees_obstacle_ahead():
+    """Horizon-exit regression: the nearest obstacles at solve time are
+    BEHIND the robot; a hurdle ~2 m ahead must still enter the pruned
+    contact set (nearest_boxes_corridor), where plain nearest_boxes
+    drops it."""
+    from lifelike_tpu.scene import boxes
+
+    k = 8
+    n_clutter = 12
+    ang = np.linspace(0, 2 * np.pi, n_clutter, endpoint=False)
+    # clutter ring 0.6 m behind/around the robot, plus a hurdle at x=+2
+    centers = np.stack([
+        -0.6 + 0.1 * np.cos(ang), 0.1 * np.sin(ang), np.full(n_clutter, 0.05)
+    ], -1)
+    hurdle = np.array([[2.0, 0.0, 0.15]])
+    center = jnp.asarray(np.concatenate([centers, hurdle]))
+    half = jnp.concatenate([
+        jnp.full((n_clutter, 3), 0.05),
+        jnp.asarray([[0.05, 1.0, 0.15]]),
+    ])
+    scene = boxes.BoxScene(
+        center=center, half=half,
+        active=jnp.ones(n_clutter + 1, bool),
+        target_pos=jnp.asarray([4.0, 0.0, 0.0]),
+    )
+    pos = jnp.asarray([0.0, 0.0, 0.33])
+
+    old = boxes.nearest_boxes(scene, pos, k)
+    # hurdle (x ~= 2) absent from the position-ranked set
+    assert not bool(jnp.any(jnp.abs(old.center[:, 0] - 2.0) < 1e-6))
+
+    p1 = jnp.asarray([3.0, 0.0, 0.33])  # 3 m/s * H=50 * 20 ms corridor
+    cor = boxes.nearest_boxes_corridor(scene, pos, p1, k)
+    sel = jnp.abs(cor.center[:, 0] - 2.0) < 1e-6
+    assert bool(jnp.any(sel & cor.active))
+
+    # and the traversal controller's rollouts actually FEEL an obstacle that
+    # only corridor pruning selects: clutter behind fills the k-nearest set,
+    # a hurdle 0.35 m ahead deflects the solve (the robot enters it within
+    # the H=8 x 10-substep horizon at 3 m/s). With position-ranked pruning
+    # the hurdle would be invisible and both costs identical.
+    near = scene._replace(
+        center=scene.center.at[-1, 0].set(0.35),
+        target_pos=jnp.asarray([2.0, 0.0, 0.0]),
+    )
+    c = B.tl_constants(MODEL, dtype=jnp.float64)
+    params = engine.PhysicsParams(kd=1.0, max_tau=16.0, substeps=10)
+    mcfg = MPPIConfig(horizon=8, population=32, iterations=1, sigma=0.15)
+    ctrl = mpc_tasks.make_traversal_controller(MODEL, c, params, mcfg,
+                                               contact_k=k)
+    robot = _stand_robot()
+    robot = robot._replace(
+        base_lin_vel=robot.base_lin_vel.at[0].set(3.0)
+    )
+    no_hurdle = near._replace(active=near.active.at[-1].set(False))
+    _, _, diag_h = ctrl(jax.random.PRNGKey(0), robot, near,
+                        near.target_pos, 3.0, jnp.zeros((8, 4, 3)))
+    _, _, diag_f = ctrl(jax.random.PRNGKey(0), robot, no_hurdle,
+                        near.target_pos, 3.0, jnp.zeros((8, 4, 3)))
+    assert float(diag_h["best_cost"]) != float(diag_f["best_cost"])
