@@ -1,8 +1,10 @@
 """Benchmark: batched H=50 MPC solve latency on the available accelerator.
 
-Default: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} —
-the headline PMC tracking solve (BASELINE.json config 1/2). With BENCH_ALL=1
-it prints one line per row of the full matrix:
+Default: prints the FULL BASELINE matrix, one JSON line
+{"metric", "value", "unit", "vs_baseline"} per row, with the headline PMC
+tracking solve (BASELINE.json config 1/2) printed FIRST (early signal) and
+re-printed LAST (so both first-line and last-line parsers of the driver
+record the headline). BENCH_ALL=0 restores the single headline line. Rows:
 
   pmc          tracking solve, real mocap clip, sampling physics
                (mass_freeze=substeps — mass/Schur refactored once per control
@@ -21,6 +23,13 @@ it prints one line per row of the full matrix:
   hybrid       MPPI->iLQR hybrid (sampling + Pallas-Riccati SQP polish of the
                weighted u + top-7 candidates): latency row + relative
                cost-improvement row vs the pure-MPPI seed
+  impulse      hard-contact fidelity mode (physics/impulse.py, the PGS
+               solver that meets the 1e-2 rad criterion): ms per 10-substep
+               control step at a small batch — sequential-solver-bound by
+               construction, NOT a sampling path
+  scaling      weak-scaling rows on the virtual CPU mesh + the 2-process
+               jax.distributed pod row (BASELINE scaling config; subprocess,
+               BENCH_SCALING=0 to skip)
 
 The north-star target (BASELINE.md) is >=4096 parallel H=50 rollouts per MPC
 solve at <10 ms p50 on TPU; vs_baseline = target_ms / measured_ms, so values
@@ -401,16 +410,51 @@ def bench_sweep(pop, horizon, substeps, reps, m_hi, mass_freeze, n_scen=16):
     return f"sepmc_sweep_latency_s{n_scen}_pop{pop}_H{horizon}", ms
 
 
+def bench_impulse(substeps, reps, m_hi, batch=256):
+    """Hard-contact PGS mode: ms per control step (fidelity path cost row)."""
+    from lifelike_tpu.physics import impulse
+    from lifelike_tpu.physics.dynamics import RobotState
+    from lifelike_tpu.robot.model import build_max_model
+
+    model = build_max_model()
+    p = impulse.ImpulseParams(substeps=substeps)
+    stand = jnp.asarray([-0.028, -0.779, 1.687] * 4, jnp.float32)
+    s = RobotState(
+        base_pos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.33], jnp.float32),
+                                  (batch, 3)),
+        base_orn=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0],
+                                              jnp.float32), (batch, 4)),
+        base_lin_vel=jnp.zeros((batch, 3), jnp.float32),
+        base_ang_vel=jnp.zeros((batch, 3), jnp.float32),
+        joint_pos=jnp.broadcast_to(stand, (batch, 12)),
+        joint_vel=jnp.zeros((batch, 12), jnp.float32),
+    )
+    lam = impulse.init_lam((batch,), jnp.float32)
+
+    def chained(M):
+        @jax.jit
+        def f(s, lam):
+            def body(carry, _):
+                return impulse.control_step(model, p, carry[0], carry[1],
+                                            stand), None
+            (s, lam), _ = jax.lax.scan(body, (s, lam), None, length=M)
+            return s.base_pos
+        return f
+
+    ms = _slope_ms(chained, (s, lam), reps, m_hi)
+    return f"impulse_ctrl_step_latency_B{batch}_sub{substeps}", ms
+
+
 def main():
     pop = int(os.environ.get("BENCH_POP", 4096))
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 10))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 4))
     m_hi = int(os.environ.get("BENCH_M", 8))
     mass_freeze = int(os.environ.get("BENCH_MASS_FREEZE", substeps))
     fused = bool(int(os.environ.get("BENCH_FUSED", 1))) and pop % 128 == 0
     bs_tile = int(os.environ.get("BENCH_TILE", 0)) or None
-    all_rows = bool(int(os.environ.get("BENCH_ALL", 0)))
+    all_rows = bool(int(os.environ.get("BENCH_ALL", 1)))
 
     def emit(metric, ms):
         print(json.dumps({
@@ -421,9 +465,10 @@ def main():
         }), flush=True)
         return ms
 
-    name, ms = bench_pmc(
+    headline_name, headline_ms = bench_pmc(
         pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile
     )
+    name, ms = headline_name, headline_ms
     emit(name, ms)
     if not all_rows:
         return
@@ -453,10 +498,12 @@ def main():
     # quarter population where second-order polish visibly beats sampling
     # (override with BENCH_HYBRID_POP / BENCH_ILQR_ITERS).
     h_pop = int(os.environ.get("BENCH_HYBRID_POP", max(pop // 4, 128)))
-    h_iters = int(os.environ.get("BENCH_ILQR_ITERS", 6))
+    h_iters = int(os.environ.get("BENCH_ILQR_ITERS", 4))
+    # the hybrid solve is seconds-scale: a short chain (RTT is negligible
+    # at that latency) keeps the whole matrix driver-runnable
     name, ms_h, imp = bench_hybrid(
-        h_pop, horizon, substeps, reps, m_hi, mass_freeze,
-        fused and h_pop % 128 == 0, ilqr_iters=h_iters,
+        h_pop, horizon, substeps, max(2, reps - 2), max(2, m_hi // 4),
+        mass_freeze, fused and h_pop % 128 == 0, ilqr_iters=h_iters,
     )
     emit(name, ms_h)
     print(json.dumps({
@@ -465,7 +512,9 @@ def main():
         "unit": "relative cost reduction vs MPPI seed",
         "vs_baseline": round(imp, 4),
     }), flush=True)
-    if int(os.environ.get("BENCH_SCALING", 0)):
+    name, ms_i = bench_impulse(substeps, max(2, reps - 2), max(2, m_hi // 4))
+    emit(name, ms_i)
+    if int(os.environ.get("BENCH_SCALING", 1)):
         # weak-scaling proxy rows (virtual CPU mesh, own subprocess so the
         # forced host-device count cannot disturb this process's backend)
         import subprocess
@@ -477,6 +526,8 @@ def main():
             capture_output=True, text=True, timeout=3600,
         )
         print(out.stdout, end="", flush=True)
+    # headline again LAST: last-line parsers record the BASELINE config-1 row
+    emit(headline_name, headline_ms)
 
 
 if __name__ == "__main__":

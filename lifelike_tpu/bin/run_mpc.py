@@ -34,7 +34,8 @@ flags.DEFINE_integer("population", 512, "MPPI population")
 flags.DEFINE_integer("horizon", 10, "MPC horizon (control steps)")
 flags.DEFINE_integer("iterations", 1, "MPPI iterations per solve")
 flags.DEFINE_integer("best_response", 1, "alternating best-response rounds (sepmc)")
-flags.DEFINE_bool("hybrid", False, "MPPI->iLQR hybrid solver (pmc)")
+flags.DEFINE_bool("hybrid", False,
+                  "MPPI->iLQR hybrid solver (all three tasks)")
 flags.DEFINE_integer("ilqr_iterations", 2, "iLQR polish iterations (--hybrid)")
 flags.DEFINE_integer("n_refine", 7, "top raw candidates refined (--hybrid)")
 flags.DEFINE_integer("seed", 0, "prng seed")
@@ -126,10 +127,19 @@ def run_epmc(key):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=FLAGS.horizon, population=FLAGS.population,
                       iterations=FLAGS.iterations, sigma=0.15)
-    ctrl = mpc_tasks.make_traversal_controller(
-        model, c, cfg.params, mcfg, reward_type=cfg.reward_type,
-        max_steps=cfg.max_steps,
-    )
+    if FLAGS.hybrid:
+        from lifelike_tpu.solver import hybrid, ilqr
+
+        ctrl = hybrid.make_hybrid_traversal_controller(
+            model, c, cfg.params, mcfg,
+            ilqr.ILQRConfig(iterations=FLAGS.ilqr_iterations),
+            n_refine=FLAGS.n_refine, reward_type=cfg.reward_type,
+        )
+    else:
+        ctrl = mpc_tasks.make_traversal_controller(
+            model, c, cfg.params, mcfg, reward_type=cfg.reward_type,
+            max_steps=cfg.max_steps,
+        )
     s, obs = playground.reset(model, cfg, key)
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
@@ -178,9 +188,18 @@ def run_sepmc(key):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=FLAGS.horizon, population=FLAGS.population,
                       iterations=FLAGS.iterations, sigma=0.15)
-    solver = mpc_tasks.make_chase_solver(
-        model, c, cfg.params, mcfg, n_best_response=FLAGS.best_response
-    )
+    if FLAGS.hybrid:
+        from lifelike_tpu.solver import hybrid, ilqr
+
+        solver = hybrid.make_hybrid_chase_solver(
+            model, c, cfg.params, mcfg,
+            ilqr.ILQRConfig(iterations=FLAGS.ilqr_iterations),
+            n_refine=FLAGS.n_refine, n_best_response=FLAGS.best_response,
+        )
+    else:
+        solver = mpc_tasks.make_chase_solver(
+            model, c, cfg.params, mcfg, n_best_response=FLAGS.best_response
+        )
     s, obs = chase_tag.reset(model, cfg, key)
     step = jax.jit(lambda st, a, k: chase_tag.step(model, cfg, st, a, k))
 

@@ -200,6 +200,74 @@ def ilqr_solve(step_fn, cost_fn, x0, u_init, cfg: ILQRConfig = ILQRConfig()):
                    "cost_history": hist}
 
 
+def _soft_fall(s: RobotState):
+    """C^2 surrogate of the rollouts' hard fall penalty: sigmoid on the body
+    up-vector crossing cos(60 deg) (reference legged_robot.py:158-179)."""
+    from lifelike_tpu.math import quat as quat_mod
+
+    up_z = quat_mod.to_matrix(s.base_orn)[..., 2, 2]
+    return jax.nn.sigmoid((jnp.cos(jnp.pi / 3.0) - up_z) * 20.0)
+
+
+def make_traversal_problem(model, params: engine.PhysicsParams, scene,
+                           target_pos, target_spd, q0,
+                           weights=None, u_reg=1e-3):
+    """EPMC smooth problem for iLQR: terrain traversal through box-scene
+    contact (reference playground_env.py:479-539 joystick objective).
+
+    scene: pruned scene.boxes.BoxScene (fixed for the solve); u are deltas
+    on the initial joint pose q0 — the same convention as
+    rollout_tasks.rollout_traversal, so MPPI candidates seed directly.
+    """
+    from lifelike_tpu.costs import traversal as trav
+
+    weights = weights or trav.TraversalWeights()
+
+    def step_fn(x, u, t):
+        s = unflatten_state(x)
+        s2 = engine.control_step(model, params, s, q0 + u, scene=scene)
+        return flatten_state(s2)
+
+    def cost_fn(x, u, t):
+        s = unflatten_state(x)
+        c = trav.joystick_cost(s, target_pos, target_spd, weights)
+        c = c + weights.clearance * trav.clearance_cost(scene, s)
+        return c + u_reg * jnp.sum(u**2) + 5.0 * _soft_fall(s)
+
+    return step_fn, cost_fn
+
+
+def make_chase_problem(model, params: engine.PhysicsParams, scene, opp_traj,
+                       flag_pos, is_chaser, q0, weights=None, u_reg=1e-3):
+    """SEPMC smooth problem for iLQR: one robot vs a fixed opponent plan
+    (reference chase_tag_game_env.py:640-697 objectives; alternating best
+    response supplies the coupling). opp_traj: (H, 3) opponent base path;
+    is_chaser: static/traced bool — masked cost switch like rollout_chase.
+    """
+    from lifelike_tpu.costs import chase as chase_costs
+    from lifelike_tpu.costs import traversal as trav
+
+    weights = weights or chase_costs.ChaseWeights()
+
+    def step_fn(x, u, t):
+        s = unflatten_state(x)
+        s2 = engine.control_step(model, params, s, q0 + u, scene=scene)
+        return flatten_state(s2)
+
+    def cost_fn(x, u, t):
+        s = unflatten_state(x)
+        ti = jnp.clip(t.astype(jnp.int32), 0, opp_traj.shape[0] - 1)
+        opp_t = opp_traj[ti]
+        role = jnp.asarray(is_chaser, x.dtype)
+        c_ch = chase_costs.chaser_cost(s, opp_t, weights)
+        c_es = chase_costs.escapee_cost(s, opp_t, flag_pos, 1.0, weights)
+        c = role * c_ch + (1.0 - role) * c_es
+        c = c + 0.5 * trav.clearance_cost(scene, s)
+        return c + u_reg * jnp.sum(u**2) + 5.0 * _soft_fall(s)
+
+    return step_fn, cost_fn
+
+
 # ---------------------------------------------------------------------------
 # Scenario-batched refinement: the MPPI->iLQR hybrid's polish stage. All S
 # scenarios linearize / sweep / line-search together, the backward Riccati
