@@ -19,6 +19,12 @@ class ChaseWeights(NamedTuple):
     distance: float = 1.0
     heading: float = 0.5
     fall: float = 5.0
+    # stand prior (see costs.traversal.TraversalWeights: lying flat is
+    # otherwise a safe local optimum for the sampling MPC)
+    height: float = 4.0
+    height_min: float = 0.26
+    upright: float = 2.0
+    pose: float = 0.05
 
 
 def chaser_cost(state: RobotState, opponent_pos, weights=ChaseWeights()):
@@ -34,6 +40,9 @@ def chaser_cost(state: RobotState, opponent_pos, weights=ChaseWeights()):
         (jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1] - 1.0) * 2.0
     )
     cost = weights.distance * d + weights.heading * (1.0 - r_rot)
+    from lifelike_tpu.costs.traversal import posture_cost
+
+    cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)
 
@@ -45,5 +54,8 @@ def escapee_cost(state: RobotState, opponent_pos, flag_pos, flag_visible=1.0,
     d_opp = jnp.linalg.norm((opponent_pos - state.base_pos)[..., :2], axis=-1)
     d_flag = jnp.linalg.norm((flag_pos - state.base_pos)[..., :2], axis=-1)
     cost = -weights.distance * d_opp + weights.distance * flag_visible * d_flag
+    from lifelike_tpu.costs.traversal import posture_cost
+
+    cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)

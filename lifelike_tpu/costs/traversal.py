@@ -26,6 +26,41 @@ class TraversalWeights(NamedTuple):
     heading: float = 1.0
     clearance: float = 0.5
     fall: float = 5.0
+    # Posture shaping: without it, "lie flat on the ground" is a local
+    # optimum that beats risky stepping under the fall penalty (measured
+    # closed-loop: the solver sinks the base to z~0.02 and crawls). The
+    # reference never sees this because its low level is a mocap-prior
+    # policy; the sampling MPC needs the stand prior in the cost.
+    height: float = 4.0  # hinge below height_min on base z
+    height_min: float = 0.26
+    upright: float = 2.0  # 1 - body up-vector z
+    pose: float = 0.05  # squared deviation from the stand pose
+
+
+# crouch-stand joint pose (STATES_INFO_12_RUN_0 family): the posture prior
+STAND_POSE = (
+    -0.0278, -0.7790, 1.6873, -0.0276, -0.7777, 1.6838,
+    -0.0278, -0.7334, 1.5669, -0.0276, -0.7319, 1.5632,
+)
+
+
+def posture_cost(state: RobotState, weights=None):
+    """Stand prior: height hinge + uprightness + stand-pose regularization.
+
+    Batch-leading oracle; tile-layout twin in rollout_tasks.posture_cost_tl
+    (parity pinned in tests/test_task_mpc.py)."""
+    w = weights or TraversalWeights()
+    z = state.base_pos[..., 2]
+    up_z = 1.0 - 2.0 * (
+        state.base_orn[..., 0] ** 2 + state.base_orn[..., 1] ** 2
+    )
+    stand = jnp.asarray(STAND_POSE, state.joint_pos.dtype)
+    pose_err = jnp.mean((state.joint_pos - stand) ** 2, axis=-1)
+    return (
+        w.height * jnp.maximum(w.height_min - z, 0.0)
+        + w.upright * (1.0 - up_z)
+        + w.pose * pose_err
+    )
 
 
 def _dense_shaping(spd, align, target_spd, weights):
@@ -52,6 +87,7 @@ def joystick_cost(
     align = jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1]
     r_rot = jnp.exp((align - 1.0) * 5.0)
     cost = 1.0 - r_vel * r_rot + _dense_shaping(spd, align, target_spd, weights)
+    cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)
 
@@ -60,7 +96,7 @@ def progress_cost(state: RobotState, target_pos, last_dist, weights=TraversalWei
     """Distance-progress cost (average_speed family, :504-539): positive when
     moving away from the target. Returns (cost, new_dist)."""
     d = jnp.linalg.norm((target_pos - state.base_pos)[..., :2], axis=-1)
-    cost = d - last_dist
+    cost = d - last_dist + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype), d
 

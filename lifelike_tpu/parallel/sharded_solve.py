@@ -36,9 +36,15 @@ def sharded_mppi_step(
     ref: rollout_tl.RefTraj,
     terrain_fn=None,
     lanes=None,
+    rollout_fn=None,
 ):
     """One MPPI improvement with the population sharded over mesh axis
     'batch'. state: TLState batch (1, 1); u_nominal (H, 4, 3).
+
+    rollout_fn: optional (state_k, u_cand) -> cost override, same contract
+    as mppi_tl.mppi_step's — e.g. the fused Pallas rollout
+    (ops.rollout_pallas.rollout_tracking_fused) running per-shard under
+    shard_map (exercised by dryrun_multichip).
 
     Returns (u_improved, diagnostics) — identical semantics to
     mppi_tl.mppi_step, computed across all devices of the mesh.
@@ -62,9 +68,12 @@ def sharded_mppi_step(
                 key_i, (H, 4, 3, Bs, lanes), cfg.beta, dtype
             )
             u_cand = u_n[..., None, None] + noise
-            cost, _ = rollout_tl.rollout_tracking(
-                c, params, state_k, u_cand, ref, terrain_fn
-            )  # (Bs, lanes) local shard
+            if rollout_fn is not None:
+                cost = rollout_fn(state_k, u_cand)  # (Bs, lanes) local shard
+            else:
+                cost, _ = rollout_tl.rollout_tracking(
+                    c, params, state_k, u_cand, ref, terrain_fn
+                )  # (Bs, lanes) local shard
             # global softmax over the full population: ICI reductions
             c_min = jax.lax.pmin(jnp.min(cost), BATCH_AXIS)
             w_un = jnp.exp(-(cost - c_min) / cfg.temperature)
@@ -110,6 +119,7 @@ def sharded_hybrid_step(
     ref: rollout_tl.RefTraj,
     use_pallas=True,
     lanes=None,
+    rollout_fn=None,
 ):
     """Sharded sampling + sharded second-order refinement.
 
@@ -146,9 +156,12 @@ def sharded_hybrid_step(
                 key_i, (H, 4, 3, Bs, lanes), cfg.beta, dtype
             )
             u_cand = u_n[..., None, None] + noise
-            cost, _ = rollout_tl.rollout_tracking(
-                c, params, state_k, u_cand, ref
-            )
+            if rollout_fn is not None:
+                cost = rollout_fn(state_k, u_cand)
+            else:
+                cost, _ = rollout_tl.rollout_tracking(
+                    c, params, state_k, u_cand, ref
+                )
             c_min = jax.lax.pmin(jnp.min(cost), BATCH_AXIS)
             w_un = jnp.exp(-(cost - c_min) / cfg.temperature)
             denom = jax.lax.psum(jnp.sum(w_un), BATCH_AXIS)
@@ -200,7 +213,8 @@ def sharded_hybrid_step(
     return u_best, {"best_cost": best, "refined_cost": refined}
 
 
-def make_sharded_solver(mesh, model, c, params, clips, cfg, terrain_fn=None):
+def make_sharded_solver(mesh, model, c, params, clips, cfg, terrain_fn=None,
+                        rollout_fn=None):
     """Jitted sharded receding-horizon solve: f(key, tl_state, u_warm, clip_idx,
     t0) -> (u_opt, diag)."""
     policy_dt = params.dt * params.substeps
@@ -210,8 +224,12 @@ def make_sharded_solver(mesh, model, c, params, clips, cfg, terrain_fn=None):
         ref = rollout_tl.precompute_reference(
             model, clips, clip_idx, t0, cfg.horizon, policy_dt
         )
+        fn = None
+        if rollout_fn is not None:
+            fn = lambda sk, uc: rollout_fn(sk, uc, ref)
         return sharded_mppi_step(
-            mesh, c, params, cfg, key, tl_state, u_warm, ref, terrain_fn
+            mesh, c, params, cfg, key, tl_state, u_warm, ref, terrain_fn,
+            rollout_fn=fn,
         )
 
     return solve

@@ -72,6 +72,109 @@ def make_traversal_controller(model, c, params, cfg: MPPIConfig,
     return controller
 
 
+def make_gait_traversal_controller(model, c, params, cfg: MPPIConfig, clips,
+                                   reward_type="joystick", max_steps=1000,
+                                   contact_k=CONTACT_K, clip_idx=0,
+                                   gait_weight=1.0):
+    """EPMC MPC with a mocap gait prior (the solver-side LLC/MLC split —
+    see rollout_tasks.rollout_traversal_gait).
+
+    f(key, robot_state, scene, target_pos, target_spd, t_clip, u_warm)
+    -> (target_q_exec (12,), u_warm', diag). The caller advances t_clip by
+    policy_dt per control step (looping inside the clip's walk section), so
+    the gait phase persists across replans exactly like the PMC tracking
+    controller's clip time."""
+    from lifelike_tpu.solver import rollout_tl
+
+    policy_dt = params.dt * params.substeps
+
+    @jax.jit
+    def controller(key, robot_state, scene, target_pos, target_spd, t_clip,
+                   u_warm):
+        p0 = robot_state.base_pos
+        to_tgt = target_pos[:2] - p0[:2]
+        d_tgt = jnp.linalg.norm(to_tgt) + 1e-9
+        reach = jnp.minimum(d_tgt, target_spd * cfg.horizon * policy_dt)
+        p1 = p0.at[:2].add(to_tgt / d_tgt * reach)
+        sub = boxes.nearest_boxes_corridor(scene, p0, p1, contact_k)
+        ts = engine_tl.tl_scene(sub)
+        tl = _tl_single(robot_state)
+        ref = rollout_tl.precompute_reference(
+            model, clips, jnp.asarray(clip_idx), t_clip, cfg.horizon,
+            policy_dt,
+        )
+
+        def rollout_fn(state_k, u_cand):
+            cost, _ = rollout_tasks.rollout_traversal_gait(
+                c, params, state_k, u_cand, ts, ref, target_pos, target_spd,
+                reward_type, max_steps, gait_weight=gait_weight,
+            )
+            return cost
+
+        u_opt, diag = mppi_tl.mppi_step(
+            c, params, cfg, key, tl, u_warm, ref=None, rollout_fn=rollout_fn
+        )
+        u_exec = (ref.target_joint[0, ..., 0, 0] + u_opt[0]).reshape(12)
+        u_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+        return u_exec, u_next, diag
+
+    return controller
+
+
+def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
+                           n_best_response=2, clip_idx=0, gait_weight=1.0):
+    """Chase solver with the walk-gait prior for BOTH robots (see
+    make_gait_traversal_controller). f(key, robots, scene, flag_pos,
+    with_flag, t_clip, u_warm (2,H,4,3)) -> (target_q_exec (2,12),
+    u_warm', diag)."""
+    from lifelike_tpu.solver import rollout_tl
+
+    policy_dt = params.dt * params.substeps
+
+    @jax.jit
+    def solve(key, robots, scene, flag_pos, with_flag, t_clip, u_warm):
+        ts = engine_tl.tl_scene(scene)
+        ref = rollout_tl.precompute_reference(
+            model, clips, jnp.asarray(clip_idx), t_clip, cfg.horizon,
+            policy_dt,
+        )
+        states = [
+            _tl_single(jax.tree.map(lambda x, i=i: x[i], robots))
+            for i in (0, 1)
+        ]
+        u = [u_warm[0], u_warm[1]]
+        diag = {}
+        for _ in range(n_best_response):
+            for i in (0, 1):
+                j = 1 - i
+                opp_traj = rollout_tasks.rollout_plan_gait(
+                    c, params, states[j], u[j], ts, ref
+                )
+
+                def rollout_fn(state_k, u_cand, opp=opp_traj,
+                               role=with_flag[i]):
+                    cost, _ = rollout_tasks.rollout_chase_gait(
+                        c, params, state_k, u_cand, ts, ref, opp, flag_pos,
+                        role, gait_weight=gait_weight,
+                    )
+                    return cost
+
+                key, k = jax.random.split(key)
+                u[i], diag = mppi_tl.mppi_step(
+                    c, params, cfg, k, states[i], u[i], ref=None,
+                    rollout_fn=rollout_fn,
+                )
+
+        tj0 = ref.target_joint[0, ..., 0, 0]  # (4, 3)
+        u_exec = jnp.stack([(tj0 + u[i][0]).reshape(12) for i in (0, 1)])
+        u_next = jnp.stack([
+            jnp.concatenate([u[i][1:], u[i][-1:]], axis=0) for i in (0, 1)
+        ])
+        return u_exec, u_next, diag
+
+    return solve
+
+
 def make_chase_solver(model, c, params, cfg: MPPIConfig, n_best_response=2):
     """Jitted SEPMC MPC for BOTH robots by alternating best response.
 

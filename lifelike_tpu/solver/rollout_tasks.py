@@ -48,6 +48,26 @@ def clearance_cost_tl(ts: engine_tl.TLScene, base_pos, margin=0.15,
     return jnp.sum(pen**2, axis=0)
 
 
+def posture_cost_tl(s: B.TLState, w):
+    """costs.traversal.posture_cost in tile layout: stand prior (height
+    hinge + uprightness + stand-pose regularization) — shared by the
+    traversal AND chase stage costs (both weight tuples carry the fields).
+    """
+    from lifelike_tpu.costs.traversal import STAND_POSE
+
+    z = s.base_pos[2]
+    up_z = 1.0 - 2.0 * (s.base_orn[0] ** 2 + s.base_orn[1] ** 2)
+    stand = jnp.asarray(STAND_POSE, s.joint_pos.dtype).reshape(4, 3)
+    pose_err = jnp.mean(
+        (s.joint_pos - stand[..., None, None]) ** 2, axis=(0, 1)
+    )
+    return (
+        w.height * jnp.maximum(w.height_min - z, 0.0)
+        + w.upright * (1.0 - up_z)
+        + w.pose * pose_err
+    )
+
+
 def _direction_terms(s: B.TLState, target_pos):
     """Shared joystick geometry: unit direction to target, speed along it,
     heading-alignment dot. target_pos (3,[ Bs, L]) broadcastable."""
@@ -79,6 +99,7 @@ def joystick_cost_tl(s: B.TLState, target_pos, target_spd,
     r_vel = jnp.exp(-jnp.abs(spd - target_spd))
     r_rot = jnp.exp((align - 1.0) * 5.0)
     cost = 1.0 - r_vel * r_rot + _dense_shaping_tl(spd, align, target_spd, w)
+    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
 
@@ -93,6 +114,7 @@ def avg_speed_cost_tl(s: B.TLState, target_pos, target_spd, last_dist,
     r_dist = (d - last_dist) / init_dist
     cost = 0.1 * r_dist - (0.2 / float(max_steps)) * r_rot
     cost = cost + _dense_shaping_tl(spd, align, target_spd, w)
+    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype), d
 
 
@@ -137,6 +159,66 @@ def rollout_traversal(
     return jnp.sum(costs, axis=0), final
 
 
+def rollout_traversal_gait(
+    c: B.TLConstants,
+    params,
+    state: B.TLState,
+    controls,
+    ts: engine_tl.TLScene,
+    ref,
+    target_pos,
+    target_spd,
+    reward_type="joystick",
+    max_steps=1000,
+    weights: TraversalWeights = TraversalWeights(),
+    gait_weight=1.0,
+    gait_vel_weight=0.02,
+):
+    """Gait-prior traversal rollout: controls are deltas on a WALK-CLIP's
+    joint trajectory (ref: rollout_tl.RefTraj), so u=0 replays the mocap
+    gait and the task cost steers it — the solver-side mirror of the
+    reference's LLC/MLC split (EPMC emits codebook indices that drive the
+    frozen mocap-prior PMC decoder, epmc_net.py:166-174). Raw-delta
+    sampling (rollout_traversal) cannot synthesize a gait de novo: measured
+    closed-loop it creeps ~0.3 m and falls; with the clip prior the same
+    MPPI walks (see EVAL.md).
+
+    Stage cost = traversal task terms (joystick/avg_speed + clearance +
+    posture) + gait_weight * joint-space clip tracking (base-free: only
+    joints/joint velocities — heading stays task-driven).
+    Returns (total_cost (Bs, L), final TLState)."""
+    q0_ref = ref.target_joint  # (H, 4, 3, 1, 1)
+    tp = target_pos if target_pos.ndim == 3 else target_pos[:, None, None]
+    d0 = jnp.sqrt(
+        jnp.sum((tp[:2] - state.base_pos[:2]) ** 2, axis=0)
+    ).clip(1e-8)
+
+    def body(carry, x):
+        s, last_d = carry
+        u_t, tj, rq, rqd = x
+        s = engine_tl.control_step(c, params, s, tj + u_t, scene=ts)
+        if reward_type == "joystick":
+            cost = joystick_cost_tl(s, tp, target_spd, weights)
+            new_d = last_d
+        else:
+            cost, new_d = avg_speed_cost_tl(
+                s, tp, target_spd, last_d, d0, max_steps, weights
+            )
+        cost = cost + weights.clearance * clearance_cost_tl(ts, s.base_pos)
+        gait = jnp.mean((s.joint_pos - rq) ** 2, axis=(0, 1))
+        gait = gait + gait_vel_weight * jnp.mean(
+            (s.joint_vel - rqd) ** 2, axis=(0, 1)
+        )
+        cost = cost + gait_weight * gait
+        return (s, new_d), cost
+
+    (final, _), costs = jax.lax.scan(
+        body, (state, d0),
+        (controls, q0_ref, ref.joint_pos, ref.joint_vel),
+    )
+    return jnp.sum(costs, axis=0), final
+
+
 # ----------------------------------------------------------------- chase
 
 
@@ -152,6 +234,7 @@ def chaser_cost_tl(s: B.TLState, opp_pos, w: ChaseWeights = ChaseWeights()):
     align = jnp.cos(yaw) * dir_w[0] + jnp.sin(yaw) * dir_w[1]
     r_rot = jnp.exp((align - 1.0) * 2.0)
     cost = w.distance * d + w.heading * (1.0 - r_rot)
+    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
 
@@ -163,6 +246,7 @@ def escapee_cost_tl(s: B.TLState, opp_pos, flag_pos, flag_visible=1.0,
     d_opp = jnp.sqrt(jnp.sum((opp_pos[:2] - s.base_pos[:2]) ** 2, axis=0))
     d_flag = jnp.sqrt(jnp.sum((flag_pos[:2] - s.base_pos[:2]) ** 2, axis=0))
     cost = -w.distance * d_opp + w.distance * flag_visible * d_flag
+    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
 
@@ -199,6 +283,60 @@ def rollout_chase(
 
     final, costs = jax.lax.scan(body, state, (controls, opp_traj))
     return jnp.sum(costs, axis=0), final
+
+
+def rollout_chase_gait(
+    c: B.TLConstants,
+    params,
+    state: B.TLState,
+    controls,
+    ts: engine_tl.TLScene,
+    ref,
+    opp_traj,
+    flag_pos,
+    is_chaser,
+    weights: ChaseWeights = ChaseWeights(),
+    gait_weight=1.0,
+    gait_vel_weight=0.02,
+):
+    """Chase rollout with the walk-clip gait prior (see
+    rollout_traversal_gait): controls are deltas on ref.target_joint."""
+    fp = flag_pos if flag_pos.ndim == 3 else flag_pos[:, None, None]
+    chaser_m = jnp.asarray(is_chaser, state.base_pos.dtype)
+
+    def body(s, x):
+        u_t, tj, rq, rqd, opp_t = x
+        s = engine_tl.control_step(c, params, s, tj + u_t, scene=ts)
+        c_ch = chaser_cost_tl(s, opp_t, weights)
+        c_es = escapee_cost_tl(s, opp_t, fp, 1.0, weights)
+        cost = chaser_m * c_ch + (1.0 - chaser_m) * c_es
+        cost = cost + 0.5 * clearance_cost_tl(ts, s.base_pos)
+        gait = jnp.mean((s.joint_pos - rq) ** 2, axis=(0, 1))
+        gait = gait + gait_vel_weight * jnp.mean(
+            (s.joint_vel - rqd) ** 2, axis=(0, 1)
+        )
+        cost = cost + gait_weight * gait
+        return s, cost
+
+    final, costs = jax.lax.scan(
+        body, state,
+        (controls, ref.target_joint, ref.joint_pos, ref.joint_vel, opp_traj),
+    )
+    return jnp.sum(costs, axis=0), final
+
+
+def rollout_plan_gait(c: B.TLConstants, params, state: B.TLState, u_plan,
+                      ts: engine_tl.TLScene, ref):
+    """rollout_plan with the gait-prior control convention (deltas on the
+    clip joints)."""
+    def body(s, x):
+        u_t, tj = x
+        s = engine_tl.control_step(c, params, s, tj + u_t, scene=ts)
+        return s, s.base_pos
+
+    u_seq = u_plan[..., None, None] if u_plan.ndim == 3 else u_plan
+    _, traj = jax.lax.scan(body, state, (u_seq, ref.target_joint))
+    return traj
 
 
 def rollout_plan(c: B.TLConstants, params, state: B.TLState, u_plan,

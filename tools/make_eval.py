@@ -1,0 +1,285 @@
+"""Closed-loop task-success evaluation -> EVAL.md.
+
+The reference demonstrates its three task levels by running pretrained
+policies in the envs (test_scripts/*/test_*_env.py). The TPU framework's
+counterpart evidence, produced here:
+
+  1. EPMC traversal SUCCESS RATE: drive solver.mpc_tasks.
+     make_traversal_controller closed-loop in envs.playground on
+     hurdle/hole/cube courses (element_id 1/2/3) over N seeds; success =
+     reach within 0.5 m of the course target (playground_env.py:360-372
+     done convention) without falling, within --cap control steps.
+  2. SEPMC catch: drive solver.mpc_tasks.make_chase_solver closed-loop in
+     envs.chase_tag; (a) vs a STANDING escapee (hold-pose action) and
+     (b) both robots solver-driven; success = link-contact catch
+     (chase_tag_game_env.py:426-456 parity) within --cap steps.
+  3. Reference-checkpoint parity: per-episode rewards of the three imported
+     TLeague models via bin/run_eval (subprocess), recorded beside the
+     solver numbers.
+
+  python tools/make_eval.py --out EVAL.md [--seeds 5] [--cap 300]
+
+Runs on whatever backend is active (TPU by default in this image; the
+driver-recorded EVAL.md in the repo was produced on the real chip).
+"""
+import argparse
+import datetime
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+MODELS = {
+    "pmc": "/root/reference/data/models/primitive_level.model",
+    "epmc": "/root/reference/data/models/environmental_level_hurdle.model",
+    "sepmc": "/root/reference/data/models/strategic_level.model",
+}
+ELEMENT_NAMES = {1: "hurdles", 2: "holes", 3: "cubes"}
+
+
+WALK_CLIP = "/root/reference/data/mocap_data/dog_quad_walkrun_001_ret.txt"
+CLIP_LOOP = (0.5, 4.5)  # the clip's steady-walk section
+RUN_LOOP = (6.2, 8.8)  # the run section (~2-3 m/s) for fast targets
+
+
+def _advance_clip(t_clip, loop=CLIP_LOOP):
+    t_clip += 0.02
+    return loop[0] if t_clip > loop[1] else t_clip
+
+
+def eval_traversal(seeds, cap, element_id, population, horizon):
+    """Gait-prior traversal MPC (mpc_tasks.make_gait_traversal_controller:
+    the solver-side LLC/MLC split; raw-delta MPPI cannot synthesize a gait
+    and collapses — see rollout_tasks.rollout_traversal_gait)."""
+    from lifelike_tpu.envs import playground
+    from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.scene import playground_gen
+    from lifelike_tpu.solver import mpc_tasks
+    from lifelike_tpu.solver.mppi import MPPIConfig
+
+    model = build_max_model()
+    clips = motion_lib.load_clips(WALK_CLIP)
+    cfg = playground.PlaygroundConfig(
+        scene=playground_gen.PlaygroundConfig(element_id=element_id)
+    )
+    c = B.tl_constants(model)
+    mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
+                      sigma=0.12)
+    ctrl = mpc_tasks.make_gait_traversal_controller(
+        model, c, cfg.params, mcfg, clips, reward_type=cfg.reward_type,
+        max_steps=cfg.max_steps,
+    )
+    step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
+
+    results = []
+    for seed in range(seeds):
+        key = jax.random.PRNGKey(1000 + seed)
+        key, kr = jax.random.split(key)
+        s, obs = playground.reset(model, cfg, kr)
+        d0 = float(np.linalg.norm(
+            (np.asarray(s.target_pos) - np.asarray(s.robot.base_pos))[:2]
+        ))
+        u = jnp.zeros((mcfg.horizon, 4, 3))
+        # gait section matched to the commanded speed (the clip walks
+        # ~0.8 m/s early and runs ~2-3 m/s after t=6)
+        loop = RUN_LOOP if float(s.target_spd) > 1.2 else CLIP_LOOP
+        t_clip = loop[0]
+        outcome = "timeout"
+        reward_sum, t = 0.0, 0
+        for t in range(cap):
+            key, k, ke = jax.random.split(key, 3)
+            tgt, u, _ = ctrl(k, s.robot, s.scene, s.target_pos,
+                             s.target_spd, jnp.asarray(t_clip, jnp.float32),
+                             u)
+            s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
+            t_clip = _advance_clip(t_clip, loop)
+            reward_sum += float(r)
+            if bool(done):
+                outcome = ("reached" if bool(info["reached"])
+                           else "fall" if bool(info["fall"]) else "timeout")
+                break
+        d1 = float(np.linalg.norm(
+            (np.asarray(s.target_pos) - np.asarray(s.robot.base_pos))[:2]
+        ))
+        results.append(dict(seed=seed, outcome=outcome, steps=t + 1,
+                            reward=reward_sum, progress=d0 - d1))
+        print(f"  element {element_id} seed {seed}: {outcome} in {t+1} steps "
+              f"(progress {d0 - d1:.2f} m of {d0:.2f})", flush=True)
+    return results
+
+
+def eval_chase(seeds, cap, population, horizon, standing_escapee):
+    from lifelike_tpu.envs import chase_tag
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.solver import mpc_tasks
+    from lifelike_tpu.solver.mppi import MPPIConfig
+
+    model = build_max_model()
+    cfg = chase_tag.ChaseTagConfig()
+    c = B.tl_constants(model)
+    from lifelike_tpu.motion import motion_lib
+
+    clips = motion_lib.load_clips(WALK_CLIP)
+    mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
+                      sigma=0.12)
+    solver = mpc_tasks.make_gait_chase_solver(model, c, cfg.params, mcfg,
+                                              clips, n_best_response=1)
+    step = jax.jit(lambda st, a, k: chase_tag.step(model, cfg, st, a, k))
+
+    results = []
+    for seed in range(seeds):
+        key = jax.random.PRNGKey(2000 + seed)
+        key, kr = jax.random.split(key)
+        s, obs = chase_tag.reset(model, cfg, kr)
+        # robot 0 is the contact-detecting toucher in _link_catch: make it
+        # the chaser for a clean "chaser catches within N steps" metric
+        s = s._replace(with_flag=jnp.asarray([True, False]))
+        u = jnp.zeros((2, mcfg.horizon, 4, 3))
+        outcome, t = "timeout", 0
+        t_clip = CLIP_LOOP[0]
+        for t in range(cap):
+            key, k, ke = jax.random.split(key, 3)
+            tgt, u, _ = solver(k, s.robots, s.scene, s.flag_pos,
+                               s.with_flag, jnp.asarray(t_clip, jnp.float32),
+                               u)
+            t_clip = _advance_clip(t_clip)
+            action = tgt - s.robots.joint_pos
+            if standing_escapee:
+                action = action.at[1].set(0.0)  # escapee holds its pose
+            s, obs, r, done, info = step(s, action, ke)
+            if bool(done):
+                outcome = "caught" if bool(info["caught"]) else "fall/timeout"
+                break
+        results.append(dict(seed=seed, outcome=outcome, steps=t + 1))
+        print(f"  chase ({'standing' if standing_escapee else 'fleeing'}) "
+              f"seed {seed}: {outcome} in {t+1} steps", flush=True)
+    return results
+
+
+def eval_checkpoints(episodes, max_steps):
+    """Per-episode rewards of the three imported reference checkpoints."""
+    rows = {}
+    for task, path in MODELS.items():
+        cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
+               f"--task={task}", f"--model_path={path}",
+               f"--episodes={episodes}", f"--max_steps={max_steps}"]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600, cwd=REPO)
+        eps = []
+        for ln in out.stderr.splitlines():
+            m = re.search(r"episode \d+: reward(?:_sum)? ([-\d.]+) len (\d+)",
+                          ln)
+            if m:
+                eps.append((float(m.group(1)), int(m.group(2))))
+            m2 = re.search(r"episode \d+: rewards \[([-\d., ]+)\] len (\d+)",
+                           ln)
+            if m2:
+                vals = [float(v) for v in m2.group(1).split(",")]
+                eps.append((vals[0], int(m2.group(2))))
+        rows[task] = dict(episodes=eps, rc=out.returncode)
+        print(f"  checkpoint {task}: {eps} (rc={out.returncode})", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "EVAL.md"))
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--cap", type=int, default=300)
+    ap.add_argument("--population", type=int, default=512)
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--skip_checkpoints", action="store_true")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    platform = jax.devices()[0].platform
+    lines = [
+        "# EVAL — closed-loop task success (solver) + checkpoint parity",
+        "",
+        f"Generated by `python tools/make_eval.py --seeds {args.seeds} "
+        f"--cap {args.cap} --population {args.population} "
+        f"--horizon {args.horizon}` on backend `{platform}`, "
+        f"{datetime.date.today().isoformat()}.",
+        "",
+        "## 1. EPMC traversal: solver drives the playground env closed-loop",
+        "",
+        "Success = reach within 0.5 m of the course target without falling "
+        f"(playground done convention), cap {args.cap} control steps "
+        "(env randomizes friction 0.4-3.0, pushes, target speed per reset).",
+        "",
+        "| course | success | outcomes (per seed) | mean steps |",
+        "|---|---|---|---|",
+    ]
+    for eid in (1, 2, 3):
+        print(f"traversal element {eid} ({ELEMENT_NAMES[eid]}):", flush=True)
+        res = eval_traversal(args.seeds, args.cap, eid, args.population,
+                             args.horizon)
+        n_ok = sum(r["outcome"] == "reached" for r in res)
+        lines.append(
+            f"| {ELEMENT_NAMES[eid]} (element_id={eid}) | "
+            f"**{n_ok}/{len(res)}** | "
+            + ", ".join(f"{r['outcome']}({r['progress']:.1f}m)" for r in res)
+            + " | " + f"{np.mean([r['steps'] for r in res]):.0f} |"
+        )
+
+    lines += [
+        "",
+        "## 2. SEPMC chase: solver catches in the V4 arena",
+        "",
+        f"Success = chaser's leg/wheel links contact the escapee "
+        f"(reference _detect_body_contact parity) within {args.cap} steps.",
+        "",
+        "| escapee | catch | outcomes | mean steps |",
+        "|---|---|---|---|",
+    ]
+    for standing in (True, False):
+        print(f"chase standing={standing}:", flush=True)
+        res = eval_chase(args.seeds, args.cap, args.population,
+                         args.horizon, standing)
+        n_ok = sum(r["outcome"] == "caught" for r in res)
+        lines.append(
+            f"| {'standing (hold pose)' if standing else 'solver-driven (fleeing)'} | "
+            f"**{n_ok}/{len(res)}** | "
+            + ", ".join(r["outcome"] for r in res) + " | "
+            + f"{np.mean([r['steps'] for r in res]):.0f} |"
+        )
+
+    if not args.skip_checkpoints:
+        lines += [
+            "",
+            "## 3. Imported reference checkpoints (bin/run_eval)",
+            "",
+            f"Per-episode reward sums, argmax actions, {args.episodes} "
+            f"episodes x {args.cap} step cap. These are the reference's own "
+            "pretrained models (data/models/*.model) imported through "
+            "compat/tleague_import into the Flax nets.",
+            "",
+            "| checkpoint | per-episode (reward, len) |",
+            "|---|---|",
+        ]
+        print("checkpoint evals:", flush=True)
+        rows = eval_checkpoints(args.episodes, args.cap)
+        for task, row in rows.items():
+            eps = ", ".join(f"({r:.2f}, {l})" for r, l in row["episodes"])
+            lines.append(f"| {os.path.basename(MODELS[task])} | {eps or 'rc=' + str(row['rc'])} |")
+
+    lines += ["", f"Total eval wall time: {time.time() - t0:.0f} s.", ""]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out} in {time.time() - t0:.0f} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
