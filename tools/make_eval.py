@@ -69,11 +69,14 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
 
     model = build_max_model()
     clips = motion_lib.load_clips(WALK_CLIP)
+    # reference EVAL config parity (test_environmental_level_env.py:16-35):
+    # friction 0.4-1.0 (training uses 0.4-3.0), pushes stay ON
     cfg = playground.PlaygroundConfig(
-        scene=playground_gen.PlaygroundConfig(element_id=element_id)
+        scene=playground_gen.PlaygroundConfig(element_id=element_id),
+        friction_range=(0.4, 1.0),
     )
     c = B.tl_constants(model)
-    mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
+    mcfg = MPPIConfig(horizon=horizon, population=population, iterations=2,
                       sigma=0.12)
     ctrl = mpc_tasks.make_gait_traversal_controller(
         model, c, cfg.params, mcfg, clips, reward_type=cfg.reward_type,
@@ -90,16 +93,20 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
             (np.asarray(s.target_pos) - np.asarray(s.robot.base_pos))[:2]
         ))
         u = jnp.zeros((mcfg.horizon, 4, 3))
-        # gait section matched to the commanded speed (the clip walks
-        # ~0.8 m/s early and runs ~2-3 m/s after t=6)
-        loop = RUN_LOOP if float(s.target_spd) > 1.2 else CLIP_LOOP
+        # gait section matched to the CAPPED commanded speed (the clip
+        # walks ~0.8 m/s early and runs ~2-3 m/s after t=6)
+        loop = RUN_LOOP if min(float(s.target_spd), 1.3) > 1.2 else CLIP_LOOP
         t_clip = loop[0]
         outcome = "timeout"
         reward_sum, t = 0.0, 0
+        # solver-side robustness choice: plan at a capped speed (the env
+        # keeps its own sampled target_spd for rewards); reach-without-fall
+        # favors steady progress over sprinting into obstacles
+        spd_cmd = jnp.minimum(s.target_spd, 1.3)
         for t in range(cap):
             key, k, ke = jax.random.split(key, 3)
             tgt, u, _ = ctrl(k, s.robot, s.scene, s.target_pos,
-                             s.target_spd, jnp.asarray(t_clip, jnp.float32),
+                             spd_cmd, jnp.asarray(t_clip, jnp.float32),
                              u)
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
             t_clip = _advance_clip(t_clip, loop)
@@ -171,8 +178,10 @@ def eval_checkpoints(episodes, max_steps):
     """Per-episode rewards of the three imported reference checkpoints."""
     rows = {}
     for task, path in MODELS.items():
+        # --cpu: the axon TPU tunnel is single-tenant and the parent holds
+        # it; the nets are tiny so CPU episode rollouts are fine
         cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
-               f"--task={task}", f"--model_path={path}",
+               f"--task={task}", f"--model_path={path}", "--cpu",
                f"--episodes={episodes}", f"--max_steps={max_steps}"]
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=3600, cwd=REPO)
@@ -197,10 +206,11 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "EVAL.md"))
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--cap", type=int, default=300)
-    ap.add_argument("--population", type=int, default=512)
-    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--population", type=int, default=1024)
+    ap.add_argument("--horizon", type=int, default=12)
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--skip_checkpoints", action="store_true")
+    ap.add_argument("--only", default="", help="traversal|chase: run one section")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -222,7 +232,7 @@ def main():
         "| course | success | outcomes (per seed) | mean steps |",
         "|---|---|---|---|",
     ]
-    for eid in (1, 2, 3):
+    for eid in (() if args.only == "chase" else (1, 2, 3)):
         print(f"traversal element {eid} ({ELEMENT_NAMES[eid]}):", flush=True)
         res = eval_traversal(args.seeds, args.cap, eid, args.population,
                              args.horizon)
@@ -244,7 +254,7 @@ def main():
         "| escapee | catch | outcomes | mean steps |",
         "|---|---|---|---|",
     ]
-    for standing in (True, False):
+    for standing in (() if args.only == "traversal" else (True, False)):
         print(f"chase standing={standing}:", flush=True)
         res = eval_chase(args.seeds, args.cap, args.population,
                          args.horizon, standing)
