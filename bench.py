@@ -417,7 +417,10 @@ def bench_impulse(substeps, reps, m_hi, batch=256):
     from lifelike_tpu.robot.model import build_max_model
 
     model = build_max_model()
-    p = impulse.ImpulseParams(substeps=substeps)
+    p = impulse.ImpulseParams(
+        substeps=substeps,
+        use_pallas_pgs=bool(int(os.environ.get("BENCH_IMPULSE_PALLAS", 1))),
+    )
     stand = jnp.asarray([-0.028, -0.779, 1.687] * 4, jnp.float32)
     s = RobotState(
         base_pos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.33], jnp.float32),

@@ -272,25 +272,127 @@ def point_force_to_generalized(kin: Kinematics, origin, points, forces, link_ind
     return tau_base, tau_joint * mask
 
 
+def _inv3_sym(A, reg=1e-9):
+    """Closed-form inverse of symmetric 3x3 blocks (..., 3, 3) — LU-free
+    (jnp.linalg.inv lowers to LU, which is dispatch-bound for tiny blocks
+    on TPU; this is pure elementwise arithmetic)."""
+    a = A[..., 0, 0] + reg
+    b = A[..., 0, 1]
+    c = A[..., 0, 2]
+    d = A[..., 1, 1] + reg
+    e = A[..., 1, 2]
+    f = A[..., 2, 2] + reg
+    A11 = d * f - e * e
+    A12 = c * e - b * f
+    A13 = b * e - c * d
+    A22 = a * f - c * c
+    A23 = b * c - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv_det = 1.0 / det
+    r0 = jnp.stack([A11, A12, A13], axis=-1)
+    r1 = jnp.stack([A12, A22, A23], axis=-1)
+    r2 = jnp.stack([A13, A23, A33], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2) * inv_det[..., None, None]
+
+
+def _chol6(A, reg=1e-9):
+    """Unrolled Cholesky of SPD (..., 6, 6) blocks -> packed lower factor
+    list [(...)], row-major lower-triangle order (same scheme as the tile
+    layout's batched.chol6)."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j] + reg
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = Ljj
+        inv_Ljj = 1.0 / Ljj
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_Ljj
+    return L
+
+
+def _chol6_solve(L, b):
+    """Solve L L^T x = b for b (..., 6, n) given the factor from _chol6.
+    Returns (..., 6, n)."""
+    n = 6
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i, :]
+        for k in range(i):
+            s = s - L[i][k][..., None] * y[k]
+        y[i] = s / L[i][i][..., None]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][..., None] * x[k]
+        x[i] = s / L[i][i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
+class DynFactorsBL(NamedTuple):
+    """Factored structured mass matrix, batch-leading layout (the
+    counterpart of batched.DynFactors): solve many right-hand sides without
+    refactoring — forward dynamics AND the impulse mode's 60 constraint
+    rows share one factorization per substep."""
+
+    F: jnp.ndarray  # (..., 4, 3, 6)
+    Ml_inv: jnp.ndarray  # (..., 4, 3, 3)
+    FtMinv: jnp.ndarray  # (..., 4, 3, 6)
+    chol: tuple  # packed 6x6 Schur Cholesky (nested list of (...))
+
+
+def factor_dynamics(Mb, F, Ml, reg=1e-9) -> DynFactorsBL:
+    Ml_inv = _inv3_sym(Ml, reg)  # (...,4,3,3)
+    FtMinv = jnp.einsum("...lij,...lja->...lia", Ml_inv, F)  # (...,4,3,6)
+    Schur = Mb - jnp.einsum("...lja,...ljb->...ab", F, FtMinv)
+    return DynFactorsBL(F=F, Ml_inv=Ml_inv, FtMinv=FtMinv,
+                        chol=_chol6(Schur, reg))
+
+
+def forward_dynamics_apply(fac: DynFactorsBL, tau_base, tau_joint):
+    """Solve the factored system for one rhs. tau_base (..., 6),
+    tau_joint (..., 4, 3) -> (a_base (..., 6), qdd (..., 4, 3))."""
+    rhs = tau_base - jnp.einsum("...lja,...lj->...a", fac.FtMinv, tau_joint)
+    a_base = _chol6_solve(fac.chol, rhs[..., None])[..., 0]
+    qdd = jnp.einsum(
+        "...lij,...lj->...li", fac.Ml_inv,
+        tau_joint - jnp.einsum("...lja,...a->...lj", fac.F, a_base),
+    )
+    return a_base, qdd
+
+
+def minv_apply_rows(fac: DynFactorsBL, rows):
+    """Apply M^{-1} to n stacked generalized-force rows (..., n, 18) using
+    the shared factorization. Returns (..., n, 18)."""
+    rhs_b = rows[..., :, :6]
+    rhs_j = rows[..., :, 6:].reshape(rows.shape[:-1] + (4, 3))
+    rhs = rhs_b - jnp.einsum("...lja,...nlj->...na", fac.FtMinv, rhs_j)
+    a_b = _chol6_solve(fac.chol, jnp.swapaxes(rhs, -1, -2))  # (..., 6, n)
+    a_b = jnp.swapaxes(a_b, -1, -2)
+    qdd = jnp.einsum(
+        "...lij,...nlj->...nli", fac.Ml_inv,
+        rhs_j - jnp.einsum("...lja,...na->...nlj", fac.F, a_b),
+    )
+    return jnp.concatenate([a_b, qdd.reshape(qdd.shape[:-2] + (12,))], axis=-1)
+
+
 def forward_dynamics(Mb, F, Ml, tau_base, tau_joint, reg=1e-9):
     """Solve the structured system for accelerations.
 
       [Mb   F^T] [a_b]   [tau_base ]
       [F    Ml ] [qdd] = [tau_joint]      (legs block-diagonal in Ml)
 
-    via Schur complement on the 6x6 base block. Returns
+    via Schur complement on the 6x6 base block — closed-form 3x3 inverses
+    and an unrolled 6x6 Cholesky (no LU dispatch). Returns
     (a_base (...,6) spatial, qdd (...,4,3)).
     """
-    eye3 = jnp.eye(3, dtype=Ml.dtype) * reg
-    Ml_inv = jnp.linalg.inv(Ml + eye3)  # (...,4,3,3) tiny batched inverses
-    # F: (...,4,3,6) rows are joint equations. F^T a_b couples base into joints.
-    FtMinv = jnp.einsum("...lij,...lja->...lia", Ml_inv, F)  # (...,4,3,6)
-    Schur = Mb - jnp.einsum("...lja,...ljb->...ab", F, FtMinv)
-    rhs = tau_base - jnp.einsum("...lja,...lj->...a", FtMinv, tau_joint)
-    a_base = jnp.linalg.solve(
-        Schur + jnp.eye(6, dtype=Mb.dtype) * reg, rhs[..., None]
-    )[..., 0]
-    qdd = jnp.einsum(
-        "...lij,...lj->...li", Ml_inv, tau_joint - jnp.einsum("...lja,...a->...lj", F, a_base)
+    return forward_dynamics_apply(
+        factor_dynamics(Mb, F, Ml, reg), tau_base, tau_joint
     )
-    return a_base, qdd

@@ -68,6 +68,10 @@ class ImpulseParams(NamedTuple):
     erp: float = 0.2
     slop: float = 0.0
     ext_force: jnp.ndarray = np.zeros(3, np.float32)  # PushRandomizer parity
+    # VMEM-resident Pallas sweep (ops/pgs_pallas.py) instead of the XLA
+    # row-update chain; requires a single batch axis divisible by 128 and a
+    # scalar mu (falls back to XLA otherwise). Same math, same row order.
+    use_pallas_pgs: bool = False
 
 
 def init_lam(batch_shape=(), dtype=jnp.float32):
@@ -75,30 +79,8 @@ def init_lam(batch_shape=(), dtype=jnp.float32):
     return jnp.zeros(batch_shape + (N_ROWS,), dtype)
 
 
-def _minv_apply_rows(Mb, F, Ml, rows, reg=1e-9):
-    """Apply M^{-1} to n stacked generalized-force rows via the leg-structured
-    Schur factorization (factor once, solve all rows).
-
-    rows: (..., n, 18). Returns (..., n, 18).
-    """
-    Ml_inv = jnp.linalg.inv(Ml + jnp.eye(3, dtype=Ml.dtype) * reg)  # (...,4,3,3)
-    FtMinv = jnp.einsum("...lij,...lja->...lia", Ml_inv, F)  # (...,4,3,6)
-    Schur = Mb - jnp.einsum("...lja,...ljb->...ab", F, FtMinv)
-    Schur = Schur + jnp.eye(6, dtype=Mb.dtype) * reg
-
-    rhs_b = rows[..., :, :6]  # (..., n, 6)
-    rhs_j = rows[..., :, 6:].reshape(rows.shape[:-1] + (4, 3))  # (..., n, 4, 3)
-    rhs = rhs_b - jnp.einsum("...lja,...nlj->...na", FtMinv, rhs_j)
-    a_b = jnp.linalg.solve(Schur, jnp.swapaxes(rhs, -1, -2))  # (..., 6, n)
-    a_b = jnp.swapaxes(a_b, -1, -2)  # (..., n, 6)
-    qdd = jnp.einsum(
-        "...lij,...nlj->...nli",
-        Ml_inv,
-        rhs_j - jnp.einsum("...lja,...na->...nlj", F, a_b),
-    )
-    return jnp.concatenate(
-        [a_b, qdd.reshape(qdd.shape[:-2] + (12,))], axis=-1
-    )
+# M^{-1} application now lives in dynamics.minv_apply_rows, sharing one
+# factorization per substep with the unconstrained forward-dynamics solve.
 
 
 def _point_rows(kin, base_pos, p, leg_link_mask):
@@ -258,7 +240,10 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
 
     bias_b, bias_j = dynamics.bias_forces(model, kin, state, origin)
     Mb, F, Ml = dynamics.mass_matrix_blocks(model, kin, origin, state.base_pos)
-    a_base, qdd = dynamics.forward_dynamics(Mb, F, Ml, tau_b - bias_b, tau_j - bias_j)
+    fac = dynamics.factor_dynamics(Mb, F, Ml)
+    a_base, qdd = dynamics.forward_dynamics_apply(
+        fac, tau_b - bias_b, tau_j - bias_j
+    )
 
     # spatial -> point acceleration of the base origin, then explicit step of
     # the generalized velocity [w, v_origin, qd]
@@ -274,7 +259,7 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
     )
 
     J, b, lo, hi = _build_rows(model, p, state, kin)
-    MinvJT = _minv_apply_rows(Mb, F, Ml, J)  # (..., 60, 18)
+    MinvJT = dynamics.minv_apply_rows(fac, J)  # (..., 60, 18)
     d = jnp.einsum("...ni,...ni->...n", J, MinvJT)
 
     # warm start: rows inactive now contribute nothing and re-clamp to 0
@@ -285,7 +270,20 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
     lam0 = jnp.where((_MU_IDX >= 0) & (normal_hi <= 0.0), 0.0, lam0)
     v = v_free + jnp.einsum("...nk,...n->...k", MinvJT, lam0)
 
-    v, lam = _pgs(p, v, lam0, J, MinvJT, d, b, lo, hi)
+    pallas_ok = (
+        p.use_pallas_pgs
+        and v.ndim == 2
+        and v.shape[0] % 128 == 0
+        and jnp.ndim(p.mu) == 0
+    )
+    if pallas_ok:
+        from lifelike_tpu.ops import pgs_pallas
+
+        v, lam = pgs_pallas.pgs_sweep(
+            v, lam0, J, MinvJT, d, b, lo, hi, p.mu, iterations=p.iterations,
+        )
+    else:
+        v, lam = _pgs(p, v, lam0, J, MinvJT, d, b, lo, hi)
 
     w_new = v[..., 0:3]
     lin_new = v[..., 3:6]
