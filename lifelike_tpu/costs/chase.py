@@ -40,9 +40,6 @@ def chaser_cost(state: RobotState, opponent_pos, weights=ChaseWeights()):
         (jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1] - 1.0) * 2.0
     )
     cost = weights.distance * d + weights.heading * (1.0 - r_rot)
-    from lifelike_tpu.costs.traversal import posture_cost
-
-    cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)
 
@@ -54,8 +51,5 @@ def escapee_cost(state: RobotState, opponent_pos, flag_pos, flag_visible=1.0,
     d_opp = jnp.linalg.norm((opponent_pos - state.base_pos)[..., :2], axis=-1)
     d_flag = jnp.linalg.norm((flag_pos - state.base_pos)[..., :2], axis=-1)
     cost = -weights.distance * d_opp + weights.distance * flag_visible * d_flag
-    from lifelike_tpu.costs.traversal import posture_cost
-
-    cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)

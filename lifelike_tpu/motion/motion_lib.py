@@ -56,8 +56,11 @@ class FrameState(NamedTuple):
 
 
 def load_clips(data_path, policy_step=1.0 / 50.0, limit=None) -> MotionClips:
-    """Load all *.txt clips from a directory (or one file) into device arrays."""
-    if os.path.isdir(data_path):
+    """Load *.txt clips — a directory, one file, or an explicit list of
+    files (clip index = position in the list) — into device arrays."""
+    if isinstance(data_path, (list, tuple)):
+        files = list(data_path)
+    elif os.path.isdir(data_path):
         files = sorted(
             os.path.join(data_path, f)
             for f in os.listdir(data_path)

@@ -262,6 +262,7 @@ def make_chase_problem(model, params: engine.PhysicsParams, scene, opp_traj,
         c_ch = chase_costs.chaser_cost(s, opp_t, weights)
         c_es = chase_costs.escapee_cost(s, opp_t, flag_pos, 1.0, weights)
         c = role * c_ch + (1.0 - role) * c_es
+        c = c + trav.posture_cost(s, weights)
         c = c + 0.5 * trav.clearance_cost(scene, s)
         return c + u_reg * jnp.sum(u**2) + 5.0 * _soft_fall(s)
 

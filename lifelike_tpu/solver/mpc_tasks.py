@@ -121,6 +121,73 @@ def make_gait_traversal_controller(model, c, params, cfg: MPPIConfig, clips,
     return controller
 
 
+def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
+                                        clips, priors,
+                                        reward_type="joystick",
+                                        max_steps=1000, contact_k=CONTACT_K,
+                                        gait_weight=1.0):
+    """Traversal MPC with a BANK of gait priors (e.g. walk loop + jump):
+    one MPPI solve per prior each replan, the cheapest weighted plan wins.
+
+    The reference reaches the same capability through the EPMC's codebook —
+    discrete skill indices into the mocap-prior decoder select jump-like
+    codes at obstacles (epmc_net.py:166-174, clips mined for jump events by
+    utils/obstacle.py). Here the skill bank is explicit clip sections.
+
+    priors: list of (clip_idx, _, _) — loop bookkeeping stays host-side.
+    f(key, robot_state, scene, target_pos, target_spd, t_clips (P,),
+    u_warms (P, H, 4, 3)) -> (u_exec (12,), u_warms', sel (int), diag).
+    """
+    from lifelike_tpu.solver import rollout_tl
+
+    policy_dt = params.dt * params.substeps
+    clip_ids = [int(p[0]) for p in priors]
+
+    @jax.jit
+    def controller(key, robot_state, scene, target_pos, target_spd, t_clips,
+                   u_warms):
+        p0 = robot_state.base_pos
+        to_tgt = target_pos[:2] - p0[:2]
+        d_tgt = jnp.linalg.norm(to_tgt) + 1e-9
+        reach = jnp.minimum(d_tgt, target_spd * cfg.horizon * policy_dt)
+        p1 = p0.at[:2].add(to_tgt / d_tgt * reach)
+        sub = boxes.nearest_boxes_corridor(scene, p0, p1, contact_k)
+        ts = engine_tl.tl_scene(sub)
+        tl = _tl_single(robot_state)
+
+        u_execs, u_nexts, costs = [], [], []
+        for pi, cid in enumerate(clip_ids):
+            ref = rollout_tl.precompute_reference(
+                model, clips, jnp.asarray(cid), t_clips[pi], cfg.horizon,
+                policy_dt,
+            )
+
+            def rollout_fn(state_k, u_cand, ref=ref):
+                cost, _ = rollout_tasks.rollout_traversal_gait(
+                    c, params, state_k, u_cand, ts, ref, target_pos,
+                    target_spd, reward_type, max_steps,
+                    gait_weight=gait_weight,
+                )
+                return cost
+
+            key, k = jax.random.split(key)
+            u_opt, diag = mppi_tl.mppi_step(
+                c, params, cfg, k, tl, u_warms[pi], ref=None,
+                rollout_fn=rollout_fn,
+            )
+            u_execs.append((ref.target_joint[0, ..., 0, 0] + u_opt[0])
+                           .reshape(12))
+            u_nexts.append(jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0))
+            costs.append(diag["weighted_cost"])
+
+        costs = jnp.stack(costs)
+        sel = jnp.argmin(costs)
+        u_exec = jnp.stack(u_execs)[sel]
+        return u_exec, jnp.stack(u_nexts), sel, {"prior_costs": costs}
+
+    return controller
+
+
 def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
                            n_best_response=2, clip_idx=0, gait_weight=1.0):
     """Chase solver with the walk-gait prior for BOTH robots (see

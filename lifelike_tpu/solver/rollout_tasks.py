@@ -234,7 +234,6 @@ def chaser_cost_tl(s: B.TLState, opp_pos, w: ChaseWeights = ChaseWeights()):
     align = jnp.cos(yaw) * dir_w[0] + jnp.sin(yaw) * dir_w[1]
     r_rot = jnp.exp((align - 1.0) * 2.0)
     cost = w.distance * d + w.heading * (1.0 - r_rot)
-    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
 
@@ -246,7 +245,6 @@ def escapee_cost_tl(s: B.TLState, opp_pos, flag_pos, flag_visible=1.0,
     d_opp = jnp.sqrt(jnp.sum((opp_pos[:2] - s.base_pos[:2]) ** 2, axis=0))
     d_flag = jnp.sqrt(jnp.sum((flag_pos[:2] - s.base_pos[:2]) ** 2, axis=0))
     cost = -w.distance * d_opp + w.distance * flag_visible * d_flag
-    cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
 
@@ -278,6 +276,7 @@ def rollout_chase(
         c_ch = chaser_cost_tl(s, opp_t, weights)
         c_es = escapee_cost_tl(s, opp_t, fp, 1.0, weights)
         cost = chaser_m * c_ch + (1.0 - chaser_m) * c_es
+        cost = cost + posture_cost_tl(s, weights)
         cost = cost + 0.5 * clearance_cost_tl(ts, s.base_pos)
         return s, cost
 
@@ -310,6 +309,7 @@ def rollout_chase_gait(
         c_ch = chaser_cost_tl(s, opp_t, weights)
         c_es = escapee_cost_tl(s, opp_t, fp, 1.0, weights)
         cost = chaser_m * c_ch + (1.0 - chaser_m) * c_es
+        cost = cost + posture_cost_tl(s, weights)
         cost = cost + 0.5 * clearance_cost_tl(ts, s.base_pos)
         gait = jnp.mean((s.joint_pos - rq) ** 2, axis=(0, 1))
         gait = gait + gait_vel_weight * jnp.mean(

@@ -72,3 +72,33 @@ def test_gait_traversal_walks_closed_loop():
     # and the gait actually moves the base (turn-in-place + first steps;
     # raw-delta MPPI stays glued near the origin while sinking)
     assert moved > 0.08, moved
+
+
+def test_multigait_bank_selects_and_executes():
+    """Two-prior bank (walk + jump): both solves run, selection is by
+    weighted cost, and the executed target is consistent with the selected
+    prior's reference joints."""
+    clips = motion_lib.load_clips([
+        CLIP, "/root/reference/data/mocap_data/dog_jump_002_ret.txt",
+    ])
+    assert clips.num_clips == 2
+    cfg = playground.PlaygroundConfig(
+        scene=playground_gen.PlaygroundConfig(element_id=1)
+    )
+    c = B.tl_constants(MODEL, dtype=jnp.float64)
+    mcfg = MPPIConfig(horizon=4, population=32, iterations=1, sigma=0.12)
+    ctrl = mpc_tasks.make_multigait_traversal_controller(
+        MODEL, c, cfg.params, mcfg, clips, priors=[(0,), (1,)],
+        reward_type=cfg.reward_type,
+    )
+    key = jax.random.PRNGKey(0)
+    key, kr = jax.random.split(key)
+    s, obs = playground.reset(MODEL, cfg, kr)
+    u_exec, u_next, sel, diag = ctrl(
+        key, s.robot, s.scene, s.target_pos, s.target_spd,
+        jnp.asarray([0.5, 0.7]), jnp.zeros((2, 4, 4, 3)),
+    )
+    costs = np.asarray(diag["prior_costs"])
+    assert costs.shape == (2,) and np.all(np.isfinite(costs))
+    assert int(sel) == int(np.argmin(costs))
+    assert u_exec.shape == (12,) and u_next.shape == (2, 4, 4, 3)

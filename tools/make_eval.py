@@ -46,8 +46,10 @@ ELEMENT_NAMES = {1: "hurdles", 2: "holes", 3: "cubes"}
 
 
 WALK_CLIP = "/root/reference/data/mocap_data/dog_quad_walkrun_001_ret.txt"
+JUMP_CLIP = "/root/reference/data/mocap_data/dog_jump_002_ret.txt"
 CLIP_LOOP = (0.5, 4.5)  # the clip's steady-walk section
 RUN_LOOP = (6.2, 8.8)  # the run section (~2-3 m/s) for fast targets
+JUMP_T0, JUMP_END = 0.7, 2.4  # approach->peak(1.47 s)->landing window
 
 
 def _advance_clip(t_clip, loop=CLIP_LOOP):
@@ -68,7 +70,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     from lifelike_tpu.solver.mppi import MPPIConfig
 
     model = build_max_model()
-    clips = motion_lib.load_clips(WALK_CLIP)
+    clips = motion_lib.load_clips([WALK_CLIP, JUMP_CLIP])
     # reference EVAL config parity (test_environmental_level_env.py:16-35):
     # friction 0.4-1.0 (training uses 0.4-3.0), pushes stay ON
     cfg = playground.PlaygroundConfig(
@@ -78,9 +80,11 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=2,
                       sigma=0.12)
-    ctrl = mpc_tasks.make_gait_traversal_controller(
-        model, c, cfg.params, mcfg, clips, reward_type=cfg.reward_type,
-        max_steps=cfg.max_steps,
+    # two-prior bank: walk/run loop (clip 0) + running jump (clip 1) — the
+    # explicit counterpart of the EPMC codebook's jump-like skill codes
+    ctrl = mpc_tasks.make_multigait_traversal_controller(
+        model, c, cfg.params, mcfg, clips, priors=[(0,) , (1,)],
+        reward_type=cfg.reward_type, max_steps=cfg.max_steps,
     )
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
@@ -92,24 +96,33 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         d0 = float(np.linalg.norm(
             (np.asarray(s.target_pos) - np.asarray(s.robot.base_pos))[:2]
         ))
-        u = jnp.zeros((mcfg.horizon, 4, 3))
+        u = jnp.zeros((2, mcfg.horizon, 4, 3))
         # gait section matched to the CAPPED commanded speed (the clip
         # walks ~0.8 m/s early and runs ~2-3 m/s after t=6)
         loop = RUN_LOOP if min(float(s.target_spd), 1.3) > 1.2 else CLIP_LOOP
-        t_clip = loop[0]
+        t_walk, t_jump = loop[0], JUMP_T0
         outcome = "timeout"
         reward_sum, t = 0.0, 0
+        jumps = 0
         # solver-side robustness choice: plan at a capped speed (the env
         # keeps its own sampled target_spd for rewards); reach-without-fall
         # favors steady progress over sprinting into obstacles
         spd_cmd = jnp.minimum(s.target_spd, 1.3)
         for t in range(cap):
             key, k, ke = jax.random.split(key, 3)
-            tgt, u, _ = ctrl(k, s.robot, s.scene, s.target_pos,
-                             spd_cmd, jnp.asarray(t_clip, jnp.float32),
-                             u)
+            tgt, u, sel, _ = ctrl(
+                k, s.robot, s.scene, s.target_pos, spd_cmd,
+                jnp.asarray([t_walk, t_jump], jnp.float32), u,
+            )
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
-            t_clip = _advance_clip(t_clip, loop)
+            t_walk = _advance_clip(t_walk, loop)
+            if int(sel) == 1:  # jump engaged: play it through
+                jumps += 1
+                t_jump = min(t_jump + 0.02, JUMP_END)
+                if t_jump >= JUMP_END:
+                    t_jump = JUMP_T0
+            else:  # rewind an un-selected jump toward its approach
+                t_jump = max(JUMP_T0, t_jump - 0.06)
             reward_sum += float(r)
             if bool(done):
                 outcome = ("reached" if bool(info["reached"])
@@ -121,7 +134,8 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         results.append(dict(seed=seed, outcome=outcome, steps=t + 1,
                             reward=reward_sum, progress=d0 - d1))
         print(f"  element {element_id} seed {seed}: {outcome} in {t+1} steps "
-              f"(progress {d0 - d1:.2f} m of {d0:.2f})", flush=True)
+              f"(progress {d0 - d1:.2f} m of {d0:.2f}, "
+              f"jump engaged {jumps} steps)", flush=True)
     return results
 
 
