@@ -89,10 +89,6 @@ def pgs_sweep(v, lam0, J, MinvJT, d, b, lo, hi, mu, iterations=10,
     hiT = jnp.moveaxis(hi, 0, -1)
     mu_arr = jnp.full((1, 1), mu, dtype)
 
-    lane_spec2 = pl.BlockSpec(
-        (None, LANES), lambda t: (0, t), memory_space=pltpu.VMEM
-    )
-
     def spec2(rows):
         return pl.BlockSpec(
             (rows, LANES), lambda t: (0, t), memory_space=pltpu.VMEM
@@ -103,7 +99,6 @@ def pgs_sweep(v, lam0, J, MinvJT, d, b, lo, hi, mu, iterations=10,
             (rows, NV, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM
         )
 
-    del lane_spec2
     v_out, lam_out = pl.pallas_call(
         functools.partial(_pgs_kernel, iterations),
         grid=(n_tiles,),
