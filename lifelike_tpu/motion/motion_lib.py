@@ -117,6 +117,36 @@ def _interp(clips: MotionClips, clip_idx, t):
     return fc, fn, frac[..., None]
 
 
+def crouch_variant(frames, hip_delta=0.45, knee_delta=0.9, knee_max=2.50,
+                   drop=None, joint_lower=None, joint_upper=None):
+    """Synthesize a crouch-walk clip from walk frames (N, 19): fold the hips
+    and knees, clamp to joint limits, and lower the base accordingly.
+
+    The reference clip library has walk/run/jump/sit families but no crawl;
+    the hole courses (playground_env holes: 0.25-0.3 m gaps under elevated
+    blocks) need one, so the skill bank synthesizes it — the gait prior is
+    a sampling PRIOR, not a dynamics ground truth, and the MPC's noise +
+    physics rollouts adapt it. hip_y is joint index 1 of each leg triple,
+    knee index 2 (leg-major FR,FL,HR,HL); drop defaults to the height loss
+    implied by the leg geometry (thigh 0.2115 + shank 0.24 chain).
+    """
+    out = np.array(frames, np.float32, copy=True)
+    q = out[:, 7:].reshape(-1, 4, 3)
+    q[:, :, 1] -= hip_delta
+    q[:, :, 2] = np.minimum(q[:, :, 2] + knee_delta, knee_max)
+    if joint_lower is not None:
+        # retargeted mocap can slightly exceed URDF limits (Bullet clamps
+        # at runtime); a synthesized prior should not add to that
+        q[:] = np.clip(q, np.reshape(joint_lower, (4, 3)),
+                       np.reshape(joint_upper, (4, 3)))
+    if drop is None:
+        # average standing-leg extension loss for the MAX geometry at these
+        # offsets is ~0.16 m (robot/model FK; see tools/make_eval.py)
+        drop = 0.16
+    out[:, 2] = np.maximum(out[:, 2] - drop, 0.12)
+    return out
+
+
 def sample_frame(clips: MotionClips, clip_idx, t) -> FrameState:
     """Reference-state lookup, matching motion_lib.py interpolation exactly."""
     fc, fn, frac = _interp(clips, clip_idx, t)

@@ -134,14 +134,22 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
     codes at obstacles (epmc_net.py:166-174, clips mined for jump events by
     utils/obstacle.py). Here the skill bank is explicit clip sections.
 
-    priors: list of (clip_idx, _, _) — loop bookkeeping stays host-side.
+    priors: list of tuples whose first element is the clip index; an
+    optional second element is a per-prior TraversalWeights (e.g. a crouch
+    prior must relax the stand-height hinge or the posture cost vetoes the
+    very crawl it exists for). Loop bookkeeping stays host-side.
     f(key, robot_state, scene, target_pos, target_spd, t_clips (P,),
     u_warms (P, H, 4, 3)) -> (u_exec (12,), u_warms', sel (int), diag).
     """
+    from lifelike_tpu.costs.traversal import TraversalWeights
     from lifelike_tpu.solver import rollout_tl
 
     policy_dt = params.dt * params.substeps
     clip_ids = [int(p[0]) for p in priors]
+    prior_weights = [
+        (p[1] if len(p) > 1 and p[1] is not None else TraversalWeights())
+        for p in priors
+    ]
 
     @jax.jit
     def controller(key, robot_state, scene, target_pos, target_spd, t_clips,
@@ -162,10 +170,11 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
                 policy_dt,
             )
 
-            def rollout_fn(state_k, u_cand, ref=ref):
+            def rollout_fn(state_k, u_cand, ref=ref,
+                           w=prior_weights[pi]):
                 cost, _ = rollout_tasks.rollout_traversal_gait(
                     c, params, state_k, u_cand, ts, ref, target_pos,
-                    target_spd, reward_type, max_steps,
+                    target_spd, reward_type, max_steps, weights=w,
                     gait_weight=gait_weight,
                 )
                 return cost

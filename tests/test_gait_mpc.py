@@ -102,3 +102,33 @@ def test_multigait_bank_selects_and_executes():
     assert costs.shape == (2,) and np.all(np.isfinite(costs))
     assert int(sel) == int(np.argmin(costs))
     assert u_exec.shape == (12,) and u_next.shape == (2, 4, 4, 3)
+
+
+def test_crouch_variant_geometry():
+    """Synthesized crouch-walk (motion_lib.crouch_variant): joints stay
+    inside URDF limits and the implied standing height drops to fit the
+    0.25-0.3 m hole gaps (base ~0.19 m, trunk top ~0.25 m)."""
+    import json
+
+    from lifelike_tpu.physics import dynamics
+    from lifelike_tpu.physics.dynamics import RobotState
+
+    fr = np.asarray(json.load(open(CLIP))["Frames"], np.float32)
+    cr = motion_lib.crouch_variant(
+        fr, joint_lower=MODEL.joint_lower, joint_upper=MODEL.joint_upper
+    )
+    q = cr[:, 7:]
+    assert np.all(q <= MODEL.joint_upper_flat + 1e-6)
+    assert np.all(q >= MODEL.joint_lower_flat - 1e-6)
+    # FK height with feet on the ground for a mid-clip crouch pose
+    s = RobotState(
+        jnp.zeros(3), jnp.asarray([0, 0, 0, 1.0]), jnp.zeros(3),
+        jnp.zeros(3), jnp.asarray(q[len(q) // 2], jnp.float64),
+        jnp.zeros(12),
+    )
+    kin = dynamics.forward_kinematics(MODEL, s)
+    height = -float(jnp.min(kin.p_foot[:, 2])) + MODEL.foot_radius
+    assert height < 0.24, height  # crouched well below the 0.25 m gap
+    assert height > 0.12, height  # but not collapsed
+    # and the recorded base z in the frames is consistent with the drop
+    assert np.all(cr[:, 2] <= fr[:, 2] - 0.1)

@@ -69,8 +69,20 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     from lifelike_tpu.solver import mpc_tasks
     from lifelike_tpu.solver.mppi import MPPIConfig
 
+    import json as _json
+
     model = build_max_model()
-    clips = motion_lib.load_clips([WALK_CLIP, JUMP_CLIP])
+    # clip bank: walk/run loop + running jump + SYNTHESIZED crouch-walk
+    # (no crawl clip exists in the reference library; see
+    # motion_lib.crouch_variant) — base height ~0.19 m fits the 0.25-0.3 m
+    # hole gaps
+    walk_fr = np.asarray(_json.load(open(WALK_CLIP))["Frames"], np.float32)
+    jump_fr = np.asarray(_json.load(open(JUMP_CLIP))["Frames"], np.float32)
+    crouch_fr = motion_lib.crouch_variant(
+        walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
+    )
+    clips = motion_lib.pack_clips([walk_fr, jump_fr, crouch_fr],
+                                  frame_step=1.0 / 120.0)
     # reference EVAL config parity (test_environmental_level_env.py:16-35):
     # friction 0.4-1.0 (training uses 0.4-3.0), pushes stay ON
     cfg = playground.PlaygroundConfig(
@@ -80,12 +92,21 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=2,
                       sigma=0.12)
-    # two-prior bank: walk/run loop (clip 0) + running jump (clip 1) — the
-    # explicit counterpart of the EPMC codebook's jump-like skill codes
+    # skill bank per course: walk + jump for hurdles/cubes, walk + crouch
+    # for holes (the crouch prior relaxes the stand-height hinge: crawling
+    # under the bar is the point; pose reg off — the gait term owns pose)
+    from lifelike_tpu.costs.traversal import TraversalWeights
+
+    if element_id == 2:
+        crouch_w = TraversalWeights(height_min=0.10, pose=0.0)
+        priors = [(0, None), (2, crouch_w)]
+    else:
+        priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
-        model, c, cfg.params, mcfg, clips, priors=[(0,) , (1,)],
+        model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
     )
+    second_is_jump = element_id != 2
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
     results = []
@@ -100,7 +121,8 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         # gait section matched to the CAPPED commanded speed (the clip
         # walks ~0.8 m/s early and runs ~2-3 m/s after t=6)
         loop = RUN_LOOP if min(float(s.target_spd), 1.3) > 1.2 else CLIP_LOOP
-        t_walk, t_jump = loop[0], JUMP_T0
+        t_walk = loop[0]
+        t_jump = JUMP_T0 if second_is_jump else CLIP_LOOP[0]
         outcome = "timeout"
         reward_sum, t = 0.0, 0
         jumps = 0
@@ -116,13 +138,17 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
             )
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
             t_walk = _advance_clip(t_walk, loop)
-            if int(sel) == 1:  # jump engaged: play it through
-                jumps += 1
-                t_jump = min(t_jump + 0.02, JUMP_END)
-                if t_jump >= JUMP_END:
-                    t_jump = JUMP_T0
-            else:  # rewind an un-selected jump toward its approach
-                t_jump = max(JUMP_T0, t_jump - 0.06)
+            if second_is_jump:
+                if int(sel) == 1:  # jump engaged: play it through
+                    jumps += 1
+                    t_jump = min(t_jump + 0.02, JUMP_END)
+                    if t_jump >= JUMP_END:
+                        t_jump = JUMP_T0
+                else:  # rewind an un-selected jump toward its approach
+                    t_jump = max(JUMP_T0, t_jump - 0.06)
+            else:  # crouch prior loops in phase with the walk
+                jumps += int(sel) == 1
+                t_jump = _advance_clip(t_jump, CLIP_LOOP)
             reward_sum += float(r)
             if bool(done):
                 outcome = ("reached" if bool(info["reached"])
