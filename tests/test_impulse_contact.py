@@ -153,3 +153,50 @@ def test_batched_jit_vmap():
     assert float(jnp.max(jnp.abs(s2.joint_pos - s2.joint_pos[0]))) == 0.0
     # warm-start impulses are live (feet are in contact while walking)
     assert float(jnp.max(jnp.abs(lam2))) > 0.0
+
+
+def test_pallas_pgs_matches_xla_sweep():
+    """ops/pgs_pallas.pgs_sweep (interpret mode on CPU) is bit-close to the
+    XLA row-update chain on a well-posed (SPD, consistent MinvJT) system."""
+    from lifelike_tpu.ops import pgs_pallas
+
+    rng = np.random.default_rng(0)
+    B, R, NV = 128, impulse.N_ROWS, impulse.NV
+    A = rng.normal(size=(NV, NV)) * 0.3
+    Minv = A @ A.T + np.eye(NV)
+    J = (rng.normal(size=(B, R, NV)) * 0.5).astype(np.float32)
+    MinvJT = np.einsum("brj,jk->brk", J, Minv).astype(np.float32)
+    d = np.einsum("bri,bri->br", J, MinvJT).astype(np.float32)
+    v = jnp.asarray(rng.normal(size=(B, NV)), jnp.float32)
+    lam0 = jnp.zeros((B, R), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, R)) * 0.1, jnp.float32)
+    active = rng.uniform(size=(B, R)) > 0.3
+    lo = jnp.zeros((B, R), jnp.float32)
+    hi = jnp.where(active, jnp.inf, 0.0).astype(jnp.float32)
+    p = impulse.ImpulseParams(iterations=4)
+    vx, lx = impulse._pgs(p, v, lam0, jnp.asarray(J), jnp.asarray(MinvJT),
+                          jnp.asarray(d), b, lo, hi)
+    vp, lp = pgs_pallas.pgs_sweep(v, lam0, jnp.asarray(J),
+                                  jnp.asarray(MinvJT), jnp.asarray(d), b,
+                                  lo, hi, p.mu, iterations=4)
+    assert float(jnp.max(jnp.abs(vx - vp))) < 1e-5
+    assert float(jnp.max(jnp.abs(lx - lp))) < 1e-5
+
+
+def test_pallas_pgs_full_substep_parity():
+    """One full hard-contact substep: Pallas sweep vs XLA sweep end to end
+    (B=128, walking contact state)."""
+    z, _, init = _load("walk")
+    B = 128
+    s = RobotState(*[
+        jnp.broadcast_to(jnp.asarray(init[f], jnp.float32),
+                         (B,) + init[f].shape) for f in FIELDS
+    ])
+    lam = impulse.init_lam((B,), jnp.float32)
+    tgt = jnp.asarray(z["targets"][0], jnp.float32)
+    p_x = impulse.ImpulseParams(iterations=3, substeps=1)
+    p_p = p_x._replace(use_pallas_pgs=True)
+    sx, lx = impulse.substep(MODEL, p_x, s, lam, tgt)
+    sp, lp = impulse.substep(MODEL, p_p, s, lam, tgt)
+    assert float(jnp.max(jnp.abs(sx.joint_vel - sp.joint_vel))) < 1e-5
+    assert float(jnp.max(jnp.abs(lx - lp))) < 1e-5
