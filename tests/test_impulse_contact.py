@@ -9,10 +9,13 @@ discipline natively in JAX; this suite pins
   * direct parity vs tools/bullet_oracle.py (independent dense-mass-matrix
     implementation): ~1e-9 rad/step,
   * the criterion itself against the committed golden traces: float64
-    max error < 1e-5 over H=50 on walk/run/stand (measured 4.7e-7),
-    float32 (the TPU compute dtype) < 1e-2 (measured 0.0089 worst case) —
-    the north star is MET in both precisions,
+    max error < 1e-5 over H=50 on walk/run/stand (measured 4.7e-7 — the
+    north star is MET with 5 orders of margin); float32 (the TPU compute
+    dtype): walk/run < 1e-2, stand hovers at the boundary (~0.009-0.011,
+    moves with XLA op ordering — pure f32 accumulation, single-step error
+    ~2e-7),
   * joint-limit impulse rows push a violated joint back into range,
+  * the Pallas VMEM PGS sweep (ops/pgs_pallas) vs the XLA row chain,
   * jit+vmap batching.
 """
 import json
