@@ -50,13 +50,18 @@ class PhysicsParams(NamedTuple):
 _LIMIT_K = 300.0  # joint-limit spring (N m / rad)
 _LIMIT_D = 2.0
 _TGT_CLIP = 3.0  # reference legged_robot.py:126
-# Trunk collision proxy vs boxes: THREE r=0.11 spheres along the body x-axis
-# covering the ~0.36x0.22x0.12 trunk box (matches the trunk box SDF used for
-# Chase-Tag catch detection, envs/chase_tag.py TRUNK_HALF) — a corner-first
-# approach to a wall is repelled, unlike the old single base-origin sphere.
-_TRUNK_RADIUS = 0.11
+# Trunk collision proxy vs boxes: SIX r=0.07 spheres in a 3x2 grid covering
+# the ~0.36x0.22x0.12 trunk box (x span +-0.19, y +-0.12, z +-0.07 — close
+# to the true half-extents (0.18, 0.11, 0.06) used for Chase-Tag catch
+# detection, envs/chase_tag.py TRUNK_HALF). Corner-first wall approaches are
+# repelled, AND the proxy is as THIN as the real trunk: a crouched robot
+# (base ~0.19 m) fits under the 0.25-0.3 m hole bars, which the earlier
+# r=0.11 spheres (0.22 m implied thickness) physically blocked.
+_TRUNK_RADIUS = 0.07
 _TRUNK_OFFSETS = np.array(
-    [[-0.12, 0.0, 0.0], [0.0, 0.0, 0.0], [0.12, 0.0, 0.0]], np.float32
+    [[-0.12, -0.05, 0.0], [-0.12, 0.05, 0.0],
+     [0.0, -0.05, 0.0], [0.0, 0.05, 0.0],
+     [0.12, -0.05, 0.0], [0.12, 0.05, 0.0]], np.float32
 )
 
 

@@ -178,22 +178,22 @@ def test_nearest_boxes_pruning():
 
 
 def test_trunk_corner_repelled_by_wall():
-    """The trunk proxy is 3 spheres spanning the body (engine._TRUNK_OFFSETS):
-    a wall that only the trunk's FRONT overlaps (0.2 m ahead of the base
-    origin — beyond the old single r=0.11 origin sphere, within the +0.12
-    sphere's reach of 0.23) must push the base back."""
+    """The trunk proxy is a 3x2 sphere grid spanning the body
+    (engine._TRUNK_OFFSETS): a wall that only the trunk's FRONT overlaps
+    (0.17 m ahead of the base origin — beyond the old single r=0.11 origin
+    sphere, within the +0.12 sphere's reach of 0.19) must push the base
+    back."""
     scene = boxes.BoxScene(
-        center=jnp.asarray([[0.45, 0.0, 0.5]], jnp.float64),
-        half=jnp.asarray([[0.25, 2.0, 0.5]], jnp.float64),  # face at x=0.2
+        center=jnp.asarray([[0.42, 0.0, 0.5]], jnp.float64),
+        half=jnp.asarray([[0.25, 2.0, 0.5]], jnp.float64),  # face at x=0.17
         active=jnp.ones(1, bool),
         target_pos=jnp.zeros(3, jnp.float64),
     )
     s = _stand_state(pos=(0.0, 0.0, 0.33), vel=(0.5, 0.0, 0.0))
     params = engine.PhysicsParams()
     s1 = engine.substep(MODEL, params, s, _STAND_Q, scene=scene)
-    # the wall face at x=0.2 is outside the old origin sphere (r=0.11): the
-    # front trunk sphere must still produce a -x force (decelerating dv < a
-    # free step's) and a pitch torque about y
+    # the wall face at x=0.17 is outside the old origin sphere (r=0.11):
+    # the front trunk spheres must still produce a -x force
     free = engine.substep(MODEL, params, s, _STAND_Q, scene=None)
     assert float(s1.base_lin_vel[0]) < float(free.base_lin_vel[0])
     # and the tile layout agrees
@@ -203,3 +203,30 @@ def test_trunk_corner_repelled_by_wall():
     tl1 = engine_tl.substep(c, params, tl, _STAND_Q.reshape(4, 3)[..., None, None],
                             scene=ts)
     assert abs(float(tl1.base_lin_vel[0, 0, 0]) - float(s1.base_lin_vel[0])) < 1e-7
+
+
+def test_crouched_trunk_fits_under_hole_bar():
+    """Hole-course crawl feasibility: the trunk proxy must be as thin as the
+    real trunk (half-height 0.06). A crouched robot (base z=0.18) under a
+    bar whose underside is at 0.27 feels NO trunk force (old r=0.11 proxy:
+    sphere top at 0.29 collided); standing (base 0.33) it does."""
+    bar = boxes.BoxScene(
+        center=jnp.asarray([[0.0, 0.0, 0.47]], jnp.float64),
+        half=jnp.asarray([[0.3, 2.0, 0.2]], jnp.float64),  # underside z=0.27
+        active=jnp.ones(1, bool),
+        target_pos=jnp.zeros(3, jnp.float64),
+    )
+    crouched = _stand_state(pos=(0.0, 0.0, 0.18))
+    free = engine.substep(MODEL, engine.PhysicsParams(), crouched, _STAND_Q,
+                          scene=None)
+    under = engine.substep(MODEL, engine.PhysicsParams(), crouched, _STAND_Q,
+                           scene=bar)
+    # identical z-dynamics: no trunk-bar contact while crouched
+    assert abs(float(under.base_lin_vel[2]) - float(free.base_lin_vel[2])) < 1e-9
+    standing = _stand_state(pos=(0.0, 0.0, 0.33))
+    free_s = engine.substep(MODEL, engine.PhysicsParams(), standing, _STAND_Q,
+                            scene=None)
+    under_s = engine.substep(MODEL, engine.PhysicsParams(), standing,
+                             _STAND_Q, scene=bar)
+    # standing trunk (top ~0.40 > 0.27) IS pushed down by the bar
+    assert float(under_s.base_lin_vel[2]) < float(free_s.base_lin_vel[2]) - 1e-6
