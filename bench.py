@@ -240,7 +240,8 @@ def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
     )
 
 
-def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16):
+def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16,
+               fused=False):
     from lifelike_tpu.physics import batched as B
     from lifelike_tpu.physics import engine, engine_tl
     from lifelike_tpu.robot.model import build_max_model
@@ -264,18 +265,43 @@ def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16):
     tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))
     tgt = scene.target_pos
 
+    if fused:
+        # the product path of the gait controllers (mpc_tasks fused=True):
+        # rollout_traversal's "deltas on the initial pose" convention maps to
+        # the fused kernel as a constant target_joint reference + zero gait
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+        from lifelike_tpu.solver import rollout_tl
+
+        sm = scalar_phys.build_scalar_model(model)
+        btab = traversal_pallas.pack_boxes(sub)
+        q0 = state.joint_pos.reshape(4, 3)
+        zH = lambda *sh: jnp.zeros((horizon,) + sh + (1, 1), jnp.float32)
+        ref = rollout_tl.RefTraj(
+            target_joint=jnp.broadcast_to(
+                q0[None, ..., None, None], (horizon, 4, 3, 1, 1)
+            ),
+            joint_pos=zH(4, 3), joint_vel=zH(4, 3), foot_pos=zH(4, 3),
+            base_pos=zH(3), base_orn=zH(4), base_lin_vel=zH(3),
+            base_ang_vel=zH(3),
+        )
+
+        def rollout_fn(state_k, u_cand):
+            return traversal_pallas.rollout_traversal_fused(
+                sm, params, state_k, u_cand, btab, ref, tgt,
+                jnp.asarray(1.5, jnp.float32), "joystick", gait_weight=0.0,
+            )
+    else:
+        def rollout_fn(state_k, u_cand):
+            cost, _ = rollout_tasks.rollout_traversal(
+                c, params, state_k, u_cand, ts, tgt, 1.5, "joystick"
+            )
+            return cost
+
     def chained(M):
         @jax.jit
         def f(key, tl_state, u_warm):
             def body(uw, i):
                 k = jax.random.fold_in(key, i)
-
-                def rollout_fn(state_k, u_cand):
-                    cost, _ = rollout_tasks.rollout_traversal(
-                        c, params, state_k, u_cand, ts, tgt, 1.5, "joystick"
-                    )
-                    return cost
-
                 u_opt, diag = mppi_tl.mppi_step(
                     c, params, cfg, k, tl_state, uw, ref=None,
                     rollout_fn=rollout_fn,
@@ -486,8 +512,13 @@ def main():
         pop, horizon, substeps, reps, m_hi, 1, fused, bs_tile
     )
     emit(name + "_exact", ms_x)
-    name, ms_e = bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
+    name, ms_e = bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze,
+                            fused=fused)
     emit(name, ms_e)
+    if fused:
+        name, ms_ex = bench_epmc(pop, horizon, substeps, reps, m_hi,
+                                 mass_freeze, fused=False)
+        emit(name + "_exact", ms_ex)
     name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
     emit(name, ms_s)
     sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))

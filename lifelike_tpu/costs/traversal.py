@@ -35,6 +35,12 @@ class TraversalWeights(NamedTuple):
     height_min: float = 0.26
     upright: float = 2.0  # 1 - body up-vector z
     pose: float = 0.05  # squared deviation from the stand pose
+    # Crawl gating for the crouch skill: boxes whose bottom face sits at
+    # least crawl_gap above the ground (the playground hole bars,
+    # bullet_static_entities.py:366-422: 0.25-0.3 m gaps) are CRAWLABLE —
+    # the clearance hinge must not repel the very bar the crouch prior
+    # exists to pass under. 0.0 (default) keeps every tall box blocking.
+    crawl_gap: float = 0.0
 
 
 # crouch-stand joint pose (STATES_INFO_12_RUN_0 family): the posture prior
@@ -101,15 +107,23 @@ def progress_cost(state: RobotState, target_pos, last_dist, weights=TraversalWei
     return cost + weights.fall * fall.astype(cost.dtype), d
 
 
-def clearance_cost(scene: boxes.BoxScene, state: RobotState, margin=0.15):
+def clearance_cost(scene: boxes.BoxScene, state: RobotState, margin=0.15,
+                   crawl_gap=0.0):
     """Penalize the base footprint approaching tall boxes (walls, hole bars):
     soft hinge on the horizontal distance to any box whose height range
-    overlaps the body. Smooth stand-in for the reference's hard collisions."""
+    overlaps the body. Smooth stand-in for the reference's hard collisions.
+
+    crawl_gap > 0 (a static float) exempts elevated boxes whose bottom face
+    is at least crawl_gap above ground — the crouch skill's crawlable bars
+    (see TraversalWeights.crawl_gap)."""
     p = state.base_pos
     d = jnp.abs(p[..., None, :2] - scene.center[..., :, :2])
     out = jnp.maximum(d - scene.half[..., :, :2], 0.0)
     horiz = jnp.linalg.norm(out, axis=-1)
     tall = (scene.center[..., :, 2] + scene.half[..., :, 2]) > 0.3
     blocking = tall & scene.active
+    if crawl_gap > 0.0:
+        bottom = scene.center[..., :, 2] - scene.half[..., :, 2]
+        blocking = blocking & (bottom < crawl_gap)
     pen = jnp.maximum(margin - horiz, 0.0) * blocking
     return jnp.sum(pen**2, axis=-1)

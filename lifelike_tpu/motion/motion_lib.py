@@ -134,7 +134,7 @@ def crouch_variant(frames, hip_delta=0.45, knee_delta=0.9, knee_max=2.50,
     q = out[:, 7:].reshape(-1, 4, 3)
     q[:, :, 1] -= hip_delta
     q[:, :, 2] = np.minimum(q[:, :, 2] + knee_delta, knee_max)
-    if joint_lower is not None:
+    if joint_lower is not None and joint_upper is not None:
         # retargeted mocap can slightly exceed URDF limits (Bullet clamps
         # at runtime); a synthesized prior should not add to that
         q[:] = np.clip(q, np.reshape(joint_lower, (4, 3)),
@@ -144,6 +144,57 @@ def crouch_variant(frames, hip_delta=0.45, knee_delta=0.9, knee_max=2.50,
         # offsets is ~0.16 m (robot/model FK; see tools/make_eval.py)
         drop = 0.16
     out[:, 2] = np.maximum(out[:, 2] - drop, 0.12)
+    return out
+
+
+def crawl_variant(frames, pose=(0.0, -0.2, 2.25), gain=0.3,
+                  base_height=0.13, joint_lower=None, joint_upper=None,
+                  knee_cap=2.45):
+    """Synthesize a LOW crawl clip: a flat crawl pose plus the walk clip's
+    joint oscillation scaled by `gain` (keeps the stepping rhythm at low
+    amplitude).
+
+    crouch_variant (fold hips/knees from the walk pose) bottoms out at a
+    ~0.25 m total height because the walk's knee/wheel points swing ABOVE
+    the base; a static-pose scan over (hip_y, knee) with the MAX FK finds
+    poses with total top height ~0.19 m (base ~0.12, knees tucked below) —
+    this builds a gait around one. Default pose (q1, q2, q3) = (0, -0.2,
+    2.25) at gain 0.3: base ~0.15 m, top mean 0.22 / max 0.23 m over the
+    gait cycle — inside the 0.25-0.3 m hole gaps of the reference courses
+    (bullet_static_entities.py:366-422).
+    knee_cap keeps the oscillation off the 2.544 rad URDF knee limit.
+    """
+    out = np.array(frames, np.float32, copy=True)
+    q = out[:, 7:].reshape(-1, 4, 3)
+    mean = q.mean(axis=0, keepdims=True)
+    posa = np.reshape(np.asarray(pose, np.float32), (1, 1, 3))
+    q[:] = posa + gain * (q - mean)
+    q[:, :, 2] = np.minimum(q[:, :, 2], knee_cap)
+    if joint_lower is not None and joint_upper is not None:
+        q[:] = np.clip(q, np.reshape(joint_lower, (4, 3)),
+                       np.reshape(joint_upper, (4, 3)))
+    out[:, 2] = base_height
+    return out
+
+
+def highstep_variant(frames, gain=1.6, lift=0.10, joint_lower=None,
+                     joint_upper=None):
+    """Synthesize a high-stepping climb gait from walk frames (N, 19):
+    amplify each leg's hip/knee oscillation about its temporal mean by
+    `gain` (taller swing arcs -> foot clearance for 0.1-0.25 m cube steps,
+    reference _generate_one_cube_set bullet_static_entities.py:424-500)
+    and raise the base by `lift` so the stance legs extend, giving the
+    climb headroom. Like crouch_variant this is a sampling PRIOR — MPPI
+    noise + the physics rollouts adapt it to the actual cube faces.
+    """
+    out = np.array(frames, np.float32, copy=True)
+    q = out[:, 7:].reshape(-1, 4, 3)
+    mean = q.mean(axis=0, keepdims=True)
+    q[:, :, 1:] = mean[:, :, 1:] + gain * (q[:, :, 1:] - mean[:, :, 1:])
+    if joint_lower is not None and joint_upper is not None:
+        q[:] = np.clip(q, np.reshape(joint_lower, (4, 3)),
+                       np.reshape(joint_upper, (4, 3)))
+    out[:, 2] += lift
     return out
 
 

@@ -668,6 +668,51 @@ def plane_contact_force(p, v, radius, cp, mu):
     return (neg(mul(coef, v[0])), neg(mul(coef, v[1])), fn)
 
 
+def box_forces(p, v, radius, bx, cp, mu):
+    """engine_tl.sphere_boxes_force for ONE sphere, vectorized over K boxes.
+
+    bx: 7-tuple of (K, 1, 1) arrays (cx, cy, cz, hx, hy, hz, active) —
+    broadcast against the (Bs, L) tiles of p/v (3-tuples). The per-box
+    tensors are (K, Bs, L); the K axis reduces at the end, so the kernel
+    pays K-vectorized VPU ops instead of K-unrolled scalar instructions.
+    Returns a 3-tuple of (Bs, L) forces (summed over boxes)."""
+    cx, cy, cz, hx, hy, hz, act = bx
+    r = (p[0] - cx, p[1] - cy, p[2] - cz)  # (K, Bs, L)
+    q = (jnp.abs(r[0]) - hx, jnp.abs(r[1]) - hy, jnp.abs(r[2]) - hz)
+    o = tuple(jnp.maximum(qi, 0.0) for qi in q)
+    d_out = jnp.sqrt(o[0] * o[0] + o[1] * o[1] + o[2] * o[2] + 1e-9)
+    d_in = jnp.maximum(jnp.maximum(q[0], q[1]), q[2])
+    inside = d_in < 0.0
+    dist = jnp.where(inside, d_in, d_out)
+    sign = tuple(jnp.where(ri >= 0.0, 1.0, -1.0) for ri in r)
+    face = tuple((qi >= d_in).astype(d_out.dtype) for qi in q)
+    fsum = jnp.maximum(face[0] + face[1] + face[2], 1.0)
+    n = tuple(
+        jnp.where(inside, sign[i] * face[i] / fsum, sign[i] * o[i] / d_out)
+        for i in range(3)
+    )
+    pen = jnp.maximum(radius - dist, 0.0)
+    in_contact = pen > 0.0
+    vn = v[0] * n[0] + v[1] * n[1] + v[2] * n[2]
+    fn = cp.kn * pen + cp.dn * jnp.maximum(-vn, 0.0) * in_contact
+    fn = jnp.maximum(fn, 0.0) * in_contact
+    vt = tuple(v[i] - vn * n[i] for i in range(3))
+    vt2 = vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2]
+    coef = jnp.minimum(
+        mul(mu, fn) / jnp.sqrt(vt2 + 1e-12 + cp.v_slip**2), cp.fric_visc_cap
+    )
+    return tuple(
+        jnp.sum((fn * n[i] - coef * vt[i]) * act, axis=0) for i in range(3)
+    )
+
+
+# trunk collision proxy (engine._TRUNK_OFFSETS parity): six spheres on a
+# 3x2 grid in the body x/y plane, as static floats
+from lifelike_tpu.physics.engine import _TRUNK_OFFSETS, _TRUNK_RADIUS  # noqa: E402
+
+_TRUNK_OFFS = tuple(tuple(float(x) for x in row) for row in _TRUNK_OFFSETS)
+
+
 # ------------------------------------------------------------------- substep
 
 
@@ -709,10 +754,13 @@ def _quat_integrate(q, w, dt):
     return tuple(c * inv_n for c in out)
 
 
-def substep(sm: ScalarModel, params, s: State, target, frozen: Factors) -> State:
+def substep(sm: ScalarModel, params, s: State, target, frozen: Factors,
+            boxes=None) -> State:
     """One 500 Hz step against frozen mass factors (engine_tl parity).
 
-    target: 4x3 tuples of joint position targets (absolute)."""
+    target: 4x3 tuples of joint position targets (absolute).
+    boxes: optional 7-tuple of (K, 1, 1) arrays (see box_forces) — adds the
+    engine_tl box-scene contact path (feet/wheels/trunk vs boxes)."""
     Rb = quat_to_mat(s.q)
     O = frozen.origin
     r = vsub(s.pb, O)
@@ -737,6 +785,10 @@ def substep(sm: ScalarModel, params, s: State, target, frozen: Factors) -> State
             kin.p_foot, kin.v_foot, sm.foot_radius, params.contact,
             params.foot_friction,
         )
+        if boxes is not None:
+            fb = box_forces(kin.p_foot, kin.v_foot, sm.foot_radius, boxes,
+                            params.contact, params.foot_friction)
+            f_foot = vadd(f_foot, fb)
         n_foot = vcross(vsub(kin.p_foot, O), f_foot)
         sp_foot = (n_foot, f_foot)
         # wheel contact (link 2: joints 1 and 2 only)
@@ -744,6 +796,10 @@ def substep(sm: ScalarModel, params, s: State, target, frozen: Factors) -> State
             kin.p_wheel, kin.v_wheel, sm.wheel_radius, params.contact,
             params.foot_friction,
         )
+        if boxes is not None:
+            fb = box_forces(kin.p_wheel, kin.v_wheel, sm.wheel_radius, boxes,
+                            params.contact, params.foot_friction)
+            f_wheel = vadd(f_wheel, fb)
         n_wheel = vcross(vsub(kin.p_wheel, O), f_wheel)
         sp_wheel = (n_wheel, f_wheel)
 
@@ -764,6 +820,21 @@ def substep(sm: ScalarModel, params, s: State, target, frozen: Factors) -> State
             [sub(a, b) for a, b in zip(tau_b[0], f_leg[0])],
             [sub(a, b) for a, b in zip(tau_b[1], f_leg[1])],
         )
+
+    if boxes is not None:
+        # Trunk proxy vs boxes: wrench about the BASE position (engine_tl
+        # substep parity — the trunk moment arm is offs_w, not p - O).
+        for off in _TRUNK_OFFS:
+            off_w = mat_vec(Rb, off)
+            p_tr = vadd(s.pb, off_w)
+            v_tr = vadd(s.vb, vcross(s.wb, off_w))
+            f_tr = box_forces(p_tr, v_tr, _TRUNK_RADIUS, boxes,
+                              params.contact, params.foot_friction)
+            n_tr = vcross(off_w, f_tr)
+            tau_b = (
+                [add(a, b) for a, b in zip(tau_b[0], n_tr)],
+                [add(a, b) for a, b in zip(tau_b[1], f_tr)],
+            )
 
     # external pushes + base bias
     ext = tuple(float(x) for x in np.asarray(params.ext_force).reshape(3))
@@ -821,13 +892,14 @@ def substep(sm: ScalarModel, params, s: State, target, frozen: Factors) -> State
     )
 
 
-def control_step(sm: ScalarModel, params, s: State, target) -> State:
+def control_step(sm: ScalarModel, params, s: State, target,
+                 boxes=None) -> State:
     """One 50 Hz control step: engine_tl.control_step parity (incl.
-    mass_freeze refactor cadence)."""
+    mass_freeze refactor cadence). boxes: see substep."""
     freeze = max(int(params.mass_freeze), 1)
     frozen = None
     for i in range(params.substeps):
         if i % freeze == 0:
             frozen = freeze_mass(sm, s)
-        s = substep(sm, params, s, target, frozen)
+        s = substep(sm, params, s, target, frozen, boxes=boxes)
     return s

@@ -1,0 +1,297 @@
+"""Fused Pallas traversal rollout: the EPMC MPC horizon in ONE TPU kernel.
+
+The XLA path (solver.rollout_tasks.rollout_traversal_gait) scans H control
+steps whose box-scene contact builds (K, ..., Bs, L) intermediates at every
+fusion boundary — round-tripping multi-MB tensors through HBM is what put
+the EPMC solve at 47 ms (BENCH_r03) vs the 2.9 ms fused PMC solve. This
+kernel keeps the rollout state, the K-box contact set and the traversal
+stage cost resident in VMEM for the whole horizon, exactly like
+ops.rollout_pallas does for the flat PMC tracking solve:
+
+  grid = population tiles of (bs_tile, 128) candidate controls;
+  per program: state tile + (H, 4, 3, bs_tile, 128) control slice +
+  the (K, 8) box table + the (H, 64) packed gait reference; fori_loop
+  over the horizon; each step runs ops.scalar_phys.control_step with the
+  K-vectorized box contact (scalar_phys.box_forces) and accumulates the
+  joystick / average-speed traversal cost.
+
+Reference behavior parity: the cost is rollout_tasks.rollout_traversal_gait
+(playground_env.py:479-539 negated rewards + posture/clearance shaping +
+gait prior tracking); asserted in tests/test_traversal_pallas.py.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lifelike_tpu.costs.traversal import STAND_POSE, TraversalWeights
+from lifelike_tpu.ops import scalar_phys as SP
+from lifelike_tpu.ops.rollout_pallas import (
+    _OFF_JP,
+    _OFF_JV,
+    _OFF_TARGET,
+    _REF_WIDTH,
+    BS_TILE,
+    LANES,
+    pack_reference,
+)
+from lifelike_tpu.physics import batched as B
+
+BOX_WIDTH = 8  # packed box row: cx cy cz hx hy hz active pad
+
+
+def pack_boxes(scene) -> jnp.ndarray:
+    """BoxScene / TLScene -> (K, 8) float32 rows [c, h, active, 0]."""
+    center = scene.center.reshape(-1, 3)
+    half = scene.half.reshape(-1, 3)
+    active = scene.active.reshape(-1, 1).astype(center.dtype)
+    pad = jnp.zeros_like(active)
+    return jnp.concatenate([center, half, active, pad], axis=1)
+
+
+def _fall_mask(s: SP.State):
+    """rollout_tl.fall_mask_tl in scalars (roll > 45 deg or pitch > 60)."""
+    import math
+
+    m = SP.quat_to_mat(s.q)
+    fwd, up = SP.mat_col(m, 0), SP.mat_col(m, 2)
+    left_z = up[0] * fwd[1] - up[1] * fwd[0]
+    return (jnp.abs(left_z) > math.sin(math.pi / 4)) | (
+        up[2] < math.cos(math.pi / 3)
+    )
+
+
+def _direction_terms(s: SP.State, tp):
+    """rollout_tasks._direction_terms in scalars: (dist, speed-to-target,
+    heading alignment). tp: 2-tuple of scalars."""
+    dx = tp[0] - s.pb[0]
+    dy = tp[1] - s.pb[1]
+    d = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-8)
+    dirx, diry = dx / d, dy / d
+    spd = jnp.abs(s.vb[0] * dirx + s.vb[1] * diry)
+    # cos/sin of base yaw without atan2: normalized forward-axis projection
+    m = SP.quat_to_mat(s.q)
+    fx, fy = m[0][0], m[1][0]
+    fnorm = jnp.maximum(jnp.sqrt(fx * fx + fy * fy), 1e-8)
+    align = (fx * dirx + fy * diry) / fnorm
+    return d, spd, align
+
+
+def _posture_cost(s: SP.State, w: TraversalWeights):
+    up_z = 1.0 - 2.0 * (s.q[0] * s.q[0] + s.q[1] * s.q[1])
+    pose_err = 0.0
+    for l in range(4):
+        for j in range(3):
+            dq = s.jq[l][j] - STAND_POSE[l * 3 + j]
+            pose_err = SP.add(pose_err, dq * dq)
+    return (
+        w.height * jnp.maximum(w.height_min - s.pb[2], 0.0)
+        + w.upright * (1.0 - up_z)
+        + w.pose * (pose_err / 12.0)
+    )
+
+
+def _clearance_cost(s: SP.State, bx, w: TraversalWeights, margin=0.15,
+                    tall_threshold=0.3):
+    """rollout_tasks.clearance_cost_tl vectorized over the K boxes."""
+    cx, cy, cz, hx, hy, hz, act = bx
+    dx = jnp.maximum(jnp.abs(s.pb[0] - cx) - hx, 0.0)
+    dy = jnp.maximum(jnp.abs(s.pb[1] - cy) - hy, 0.0)
+    horiz = jnp.sqrt(dx * dx + dy * dy)
+    tall = ((cz + hz) > tall_threshold).astype(horiz.dtype)
+    blocking = tall * act
+    if w.crawl_gap > 0.0:
+        blocking = blocking * ((cz - hz) < w.crawl_gap)
+    pen = jnp.maximum(margin - horiz, 0.0) * blocking
+    return jnp.sum(pen * pen, axis=0)
+
+
+def _trav_kernel(
+    ref_ref,  # (H, 64) packed gait reference scalars
+    task_ref,  # (1, 8) [tp_x, tp_y, tp_z, target_spd, ...]
+    boxes_ref,  # (K, 8) box table
+    bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,  # state tile
+    ctrl_ref,  # (H, 4, 3, bs_tile, LANES) deltas on the gait targets
+    cost_ref,  # out: (bs_tile, LANES)
+    *,
+    sm: SP.ScalarModel,
+    params,
+    horizon: int,
+    n_boxes: int,
+    weights: TraversalWeights,
+    gait_weight: float,
+    gait_vel_weight: float,
+    reward_type: str,
+    max_steps: int,
+):
+    state = SP.State(
+        pb=tuple(bp_ref[i] for i in range(3)),
+        q=tuple(bo_ref[i] for i in range(4)),
+        vb=tuple(blv_ref[i] for i in range(3)),
+        wb=tuple(bav_ref[i] for i in range(3)),
+        jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
+        jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
+    )
+    btab = boxes_ref[:]  # (K, 8)
+    bx = tuple(btab[:, j][:, None, None] for j in range(7))
+    tp = (task_ref[0, 0], task_ref[0, 1])
+    tspd = task_ref[0, 3]
+
+    d0x = tp[0] - state.pb[0]
+    d0y = tp[1] - state.pb[1]
+    d0 = jnp.maximum(jnp.sqrt(d0x * d0x + d0y * d0y), 1e-8)
+
+    def step(t, carry):
+        s, last_d, acc = carry
+        rd = lambda col: ref_ref[t, col]
+        target = tuple(
+            tuple(
+                rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
+                for j in range(3)
+            )
+            for l in range(4)
+        )
+        s = SP.control_step(sm, params, s, target, boxes=bx)
+
+        d, spd, align = _direction_terms(s, tp)
+        r_rot = jnp.exp((align - 1.0) * 5.0)
+        if reward_type == "joystick":
+            r_vel = jnp.exp(-jnp.abs(spd - tspd))
+            cost = 1.0 - r_vel * r_rot
+            new_d = last_d
+        else:  # average_speed family
+            cost = 0.1 * (d - last_d) / d0 - (0.2 / float(max_steps)) * r_rot
+            new_d = d
+        cost = cost + weights.velocity * jnp.abs(spd - tspd) / (1.0 + tspd)
+        cost = cost + weights.heading * (1.0 - align)
+        cost = cost + _posture_cost(s, weights)
+        cost = cost + weights.fall * _fall_mask(s).astype(cost.dtype)
+        cost = cost + weights.clearance * _clearance_cost(s, bx, weights)
+
+        if gait_weight != 0.0:
+            e_q = 0.0
+            e_qd = 0.0
+            for l in range(4):
+                for j in range(3):
+                    dq = s.jq[l][j] - rd(_OFF_JP + l * 3 + j)
+                    e_q = SP.add(e_q, dq * dq)
+                    dv = s.jqd[l][j] - rd(_OFF_JV + l * 3 + j)
+                    e_qd = SP.add(e_qd, dv * dv)
+            cost = cost + gait_weight * (
+                e_q / 12.0 + gait_vel_weight * (e_qd / 12.0)
+            )
+        return s, new_d, acc + cost
+
+    dtype = ctrl_ref.dtype
+    zero = jnp.zeros(ctrl_ref.shape[-2:], dtype)
+    _, _, total = jax.lax.fori_loop(
+        0, horizon, step, (state, d0 + zero, zero)
+    )
+    cost_ref[:] = total
+
+
+def rollout_traversal_fused(
+    model,
+    params,
+    state: B.TLState,
+    controls,
+    boxes,
+    ref,
+    target_pos,
+    target_spd,
+    reward_type="joystick",
+    max_steps=1000,
+    weights: TraversalWeights = TraversalWeights(),
+    gait_weight=1.0,
+    gait_vel_weight=0.02,
+    interpret: bool = None,
+    bs_tile: int = None,
+):
+    """Fused replacement for rollout_tasks.rollout_traversal_gait (cost only).
+
+    model: MaxModel or prebuilt scalar_phys.ScalarModel.
+    state: TLState broadcastable to (Bs, 128).
+    controls: (H, 4, 3, Bs, 128) deltas on ref.target_joint.
+    boxes: (K, 8) pack_boxes table (or a BoxScene/TLScene to pack here) —
+    the PRUNED contact set (mpc_tasks.CONTACT_K corridor prune).
+    ref: rollout_tl.RefTraj gait prior (pass gait_weight=0.0 to reduce to
+    the raw rollout_traversal cost with ref.target_joint as the nominal).
+    Returns total_cost (Bs, 128).
+    """
+    sm = model if isinstance(model, SP.ScalarModel) else SP.build_scalar_model(model)
+    H = controls.shape[0]
+    Bs, L = controls.shape[-2], controls.shape[-1]
+    if bs_tile is None:
+        bs_tile = BS_TILE
+    bs_tile = min(bs_tile, Bs)
+    assert L == LANES and Bs % bs_tile == 0, (Bs, L)
+    if state.base_pos.shape[-2:] != (Bs, L):
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, x.shape[:-2] + (Bs, L)), state
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+        boxes = pack_boxes(boxes)
+    K = boxes.shape[0]
+    ref_packed = pack_reference(ref)
+    tp = jnp.asarray(target_pos).reshape(3)
+    task = jnp.concatenate(
+        [tp, jnp.reshape(jnp.asarray(target_spd, tp.dtype), (1,)),
+         jnp.zeros((4,), tp.dtype)]
+    ).reshape(1, BOX_WIDTH)
+
+    grid = (Bs // bs_tile,)
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (bs_tile, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _trav_kernel, sm=sm, params=params, horizon=H, n_boxes=K,
+        weights=weights, gait_weight=float(gait_weight),
+        gait_vel_weight=float(gait_vel_weight), reward_type=reward_type,
+        max_steps=int(max_steps),
+    )
+    cost = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BOX_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((3,)),
+            spec((4,)),
+            spec((3,)),
+            spec((3,)),
+            spec((4, 3)),
+            spec((4, 3)),
+            spec((H, 4, 3)),
+        ],
+        out_specs=spec(()),
+        out_shape=jax.ShapeDtypeStruct((Bs, L), controls.dtype),
+        interpret=interpret,
+    )(
+        ref_packed,
+        task,
+        boxes,
+        state.base_pos,
+        state.base_orn,
+        state.base_lin_vel,
+        state.base_ang_vel,
+        state.joint_pos,
+        state.joint_vel,
+        controls,
+    )
+    return cost

@@ -137,5 +137,13 @@ def fetch(x):
     import jax
 
     if hasattr(x, "addressable_shards"):
+        # Reading shard 0 is only SPMD-safe when every process sees the same
+        # value; a sharded metric here would silently diverge clip-sampling
+        # probabilities across processes.
+        if hasattr(x, "is_fully_replicated") and not x.is_fully_replicated:
+            raise ValueError(
+                "fetch() requires a fully-replicated array; got sharding "
+                f"{getattr(x, 'sharding', None)}"
+            )
         return np.asarray(jax.device_get(x.addressable_shards[0].data))
     return np.asarray(x)

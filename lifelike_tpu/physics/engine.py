@@ -152,13 +152,13 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
     tau_j = tau_j + tj
 
     if scene is not None:
-        # Trunk collision proxy: 3 spheres fixed to the base vs boxes only
+        # Trunk collision proxy: six spheres (3x2 grid) fixed to the base vs boxes only
         # (the trunk never reaches the plane before a fall terminates).
         # Forces map to a base wrench about the base origin.
         offs_w = jnp.einsum(
             "...ij,pj->...pi", kin.R_base,
             jnp.asarray(_TRUNK_OFFSETS, state.base_pos.dtype),
-        )  # (..., 3sph, 3)
+        )  # (..., 6sph, 3)
         p_tr = state.base_pos[..., None, :] + offs_w
         v_tr = state.base_lin_vel[..., None, :] + jnp.cross(
             state.base_ang_vel[..., None, :], offs_w
@@ -166,7 +166,7 @@ def substep(model, params: PhysicsParams, state: RobotState, target_q, terrain_f
         f_tr = sphere_boxes_force(
             p_tr, v_tr, _TRUNK_RADIUS, scene.center, scene.half, scene.active,
             params.contact, params.foot_friction,
-        )  # (..., 3sph, 3)
+        )  # (..., 6sph, 3)
         tau_b = tau_b.at[..., :3].add(
             jnp.sum(jnp.cross(offs_w, f_tr), axis=-2)
         )

@@ -192,7 +192,7 @@ def substep(c: TLConstants, params: PhysicsParams, s: TLState, target_q,
     tau_j = tau_j + tj
 
     if scene is not None:
-        # Trunk proxy: 3 spheres along the body x-axis vs boxes (matches
+        # Trunk proxy: six spheres (3x2 grid over the body x/y plane) vs boxes (matches
         # engine._TRUNK_OFFSETS / the chase_tag catch trunk box) -> base
         # wrench about the base origin.
         dtype = s.base_pos.dtype

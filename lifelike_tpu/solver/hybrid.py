@@ -216,7 +216,7 @@ def make_hybrid_chase_solver(model, c, params, cfg: MPPIConfig,
                     step_fn, cost_fn, rss[i], us, icfg, use_pallas=use_pallas
                 )
                 u[i] = u_best.reshape(cfg.horizon, 4, 3)
-                diag.update(d)
+                diag.update({f"{k_}_{i}": v_ for k_, v_ in d.items()})
                 diag[f"refined_cost_{i}"] = cost_best
                 diag[f"seed_cost_{i}"] = info["initial_cost"][0]
 

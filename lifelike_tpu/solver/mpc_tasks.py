@@ -75,7 +75,7 @@ def make_traversal_controller(model, c, params, cfg: MPPIConfig,
 def make_gait_traversal_controller(model, c, params, cfg: MPPIConfig, clips,
                                    reward_type="joystick", max_steps=1000,
                                    contact_k=CONTACT_K, clip_idx=0,
-                                   gait_weight=1.0):
+                                   gait_weight=1.0, fused=False):
     """EPMC MPC with a mocap gait prior (the solver-side LLC/MLC split —
     see rollout_tasks.rollout_traversal_gait).
 
@@ -83,10 +83,19 @@ def make_gait_traversal_controller(model, c, params, cfg: MPPIConfig, clips,
     -> (target_q_exec (12,), u_warm', diag). The caller advances t_clip by
     policy_dt per control step (looping inside the clip's walk section), so
     the gait phase persists across replans exactly like the PMC tracking
-    controller's clip time."""
+    controller's clip time.
+
+    fused=True routes the candidate rollouts through the single-kernel
+    Pallas path (ops.traversal_pallas: box contact + traversal cost resident
+    in VMEM; population % 128 == 0)."""
     from lifelike_tpu.solver import rollout_tl
 
     policy_dt = params.dt * params.substeps
+    if fused:
+        assert cfg.population % 128 == 0, cfg.population
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+
+        sm = scalar_phys.build_scalar_model(model)
 
     @jax.jit
     def controller(key, robot_state, scene, target_pos, target_spd, t_clip,
@@ -104,12 +113,23 @@ def make_gait_traversal_controller(model, c, params, cfg: MPPIConfig, clips,
             policy_dt,
         )
 
-        def rollout_fn(state_k, u_cand):
-            cost, _ = rollout_tasks.rollout_traversal_gait(
-                c, params, state_k, u_cand, ts, ref, target_pos, target_spd,
-                reward_type, max_steps, gait_weight=gait_weight,
-            )
-            return cost
+        if fused:
+            btab = traversal_pallas.pack_boxes(sub)
+
+            def rollout_fn(state_k, u_cand):
+                return traversal_pallas.rollout_traversal_fused(
+                    sm, params, state_k, u_cand, btab, ref, target_pos,
+                    target_spd, reward_type, max_steps,
+                    gait_weight=gait_weight,
+                )
+        else:
+            def rollout_fn(state_k, u_cand):
+                cost, _ = rollout_tasks.rollout_traversal_gait(
+                    c, params, state_k, u_cand, ts, ref, target_pos,
+                    target_spd, reward_type, max_steps,
+                    gait_weight=gait_weight,
+                )
+                return cost
 
         u_opt, diag = mppi_tl.mppi_step(
             c, params, cfg, key, tl, u_warm, ref=None, rollout_fn=rollout_fn
@@ -125,7 +145,7 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
                                         clips, priors,
                                         reward_type="joystick",
                                         max_steps=1000, contact_k=CONTACT_K,
-                                        gait_weight=1.0):
+                                        gait_weight=1.0, fused=False):
     """Traversal MPC with a BANK of gait priors (e.g. walk loop + jump):
     one MPPI solve per prior each replan, the cheapest weighted plan wins.
 
@@ -136,10 +156,20 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
 
     priors: list of tuples whose first element is the clip index; an
     optional second element is a per-prior TraversalWeights (e.g. a crouch
-    prior must relax the stand-height hinge or the posture cost vetoes the
-    very crawl it exists for). Loop bookkeeping stays host-side.
+    prior must relax the stand-height hinge — and set crawl_gap — or the
+    posture/clearance costs veto the very crawl it exists for); an optional
+    third element is a per-prior speed scale on target_spd (a crouch crawl
+    plans at a fraction of the commanded speed). Loop bookkeeping stays
+    host-side.
+
     f(key, robot_state, scene, target_pos, target_spd, t_clips (P,),
-    u_warms (P, H, 4, 3)) -> (u_exec (12,), u_warms', sel (int), diag).
+    u_warms (P, H, 4, 3), force_sel (int32, -1 = pick by cost)) ->
+    (u_exec (12,), u_warms', sel (int), diag). force_sel implements
+    per-obstacle skill GATING: the eval loop detects an upcoming crawlable
+    bar / cube face from the scene geometry and pins the matching prior,
+    the solver-side counterpart of the EPMC codebook selecting jump-like
+    skill codes at obstacles (epmc_net.py:166-174) — cost comparison across
+    priors with different weight tuples is not apples-to-apples.
     """
     from lifelike_tpu.costs.traversal import TraversalWeights
     from lifelike_tpu.solver import rollout_tl
@@ -150,10 +180,19 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
         (p[1] if len(p) > 1 and p[1] is not None else TraversalWeights())
         for p in priors
     ]
+    spd_scales = [
+        (float(p[2]) if len(p) > 2 and p[2] is not None else 1.0)
+        for p in priors
+    ]
+    if fused:
+        assert cfg.population % 128 == 0, cfg.population
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+
+        sm = scalar_phys.build_scalar_model(model)
 
     @jax.jit
     def controller(key, robot_state, scene, target_pos, target_spd, t_clips,
-                   u_warms):
+                   u_warms, force_sel=-1):
         p0 = robot_state.base_pos
         to_tgt = target_pos[:2] - p0[:2]
         d_tgt = jnp.linalg.norm(to_tgt) + 1e-9
@@ -163,6 +202,8 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
         ts = engine_tl.tl_scene(sub)
         tl = _tl_single(robot_state)
 
+        if fused:
+            btab = traversal_pallas.pack_boxes(sub)
         u_execs, u_nexts, costs = [], [], []
         for pi, cid in enumerate(clip_ids):
             ref = rollout_tl.precompute_reference(
@@ -170,14 +211,23 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
                 policy_dt,
             )
 
-            def rollout_fn(state_k, u_cand, ref=ref,
-                           w=prior_weights[pi]):
-                cost, _ = rollout_tasks.rollout_traversal_gait(
-                    c, params, state_k, u_cand, ts, ref, target_pos,
-                    target_spd, reward_type, max_steps, weights=w,
-                    gait_weight=gait_weight,
-                )
-                return cost
+            if fused:
+                def rollout_fn(state_k, u_cand, ref=ref,
+                               w=prior_weights[pi], ss=spd_scales[pi]):
+                    return traversal_pallas.rollout_traversal_fused(
+                        sm, params, state_k, u_cand, btab, ref, target_pos,
+                        target_spd * ss, reward_type, max_steps, weights=w,
+                        gait_weight=gait_weight,
+                    )
+            else:
+                def rollout_fn(state_k, u_cand, ref=ref,
+                               w=prior_weights[pi], ss=spd_scales[pi]):
+                    cost, _ = rollout_tasks.rollout_traversal_gait(
+                        c, params, state_k, u_cand, ts, ref, target_pos,
+                        target_spd * ss, reward_type, max_steps, weights=w,
+                        gait_weight=gait_weight,
+                    )
+                    return cost
 
             key, k = jax.random.split(key)
             u_opt, diag = mppi_tl.mppi_step(
@@ -190,7 +240,8 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
             costs.append(diag["weighted_cost"])
 
         costs = jnp.stack(costs)
-        sel = jnp.argmin(costs)
+        fs = jnp.asarray(force_sel, jnp.int32)
+        sel = jnp.where(fs >= 0, fs, jnp.argmin(costs).astype(jnp.int32))
         u_exec = jnp.stack(u_execs)[sel]
         return u_exec, jnp.stack(u_nexts), sel, {"prior_costs": costs}
 

@@ -36,15 +36,21 @@ from lifelike_tpu.solver.rollout_tl import fall_mask_tl, yaw_tl
 
 
 def clearance_cost_tl(ts: engine_tl.TLScene, base_pos, margin=0.15,
-                      tall_threshold=0.3):
+                      tall_threshold=0.3, crawl_gap=0.0):
     """Tile-layout costs.traversal.clearance_cost: squared hinge on the
     horizontal distance from the base to any tall active box.
-    base_pos (3, Bs, L) -> (Bs, L)."""
+    base_pos (3, Bs, L) -> (Bs, L). crawl_gap > 0 exempts elevated boxes
+    whose bottom face clears crawl_gap (the crouch skill's crawlable hole
+    bars; see TraversalWeights.crawl_gap)."""
     d = jnp.abs(base_pos[None, :2] - ts.center[:, :2])  # (N, 2, Bs, L)
     out = jnp.maximum(d - ts.half[:, :2], 0.0)
     horiz = jnp.sqrt(jnp.sum(out * out, axis=1))  # (N, Bs, L)
     tall = (ts.center[:, 2] + ts.half[:, 2]) > tall_threshold
-    pen = jnp.maximum(margin - horiz, 0.0) * (tall * ts.active)
+    blocking = tall * ts.active
+    if crawl_gap > 0.0:
+        bottom = ts.center[:, 2] - ts.half[:, 2]
+        blocking = blocking * (bottom < crawl_gap)
+    pen = jnp.maximum(margin - horiz, 0.0) * blocking
     return jnp.sum(pen**2, axis=0)
 
 
@@ -152,7 +158,9 @@ def rollout_traversal(
             cost, new_d = avg_speed_cost_tl(
                 s, tp, target_spd, last_d, d0, max_steps, weights
             )
-        cost = cost + weights.clearance * clearance_cost_tl(ts, s.base_pos)
+        cost = cost + weights.clearance * clearance_cost_tl(
+            ts, s.base_pos, crawl_gap=weights.crawl_gap
+        )
         return (s, new_d), cost
 
     (final, _), costs = jax.lax.scan(body, (state, d0), controls)
@@ -204,7 +212,9 @@ def rollout_traversal_gait(
             cost, new_d = avg_speed_cost_tl(
                 s, tp, target_spd, last_d, d0, max_steps, weights
             )
-        cost = cost + weights.clearance * clearance_cost_tl(ts, s.base_pos)
+        cost = cost + weights.clearance * clearance_cost_tl(
+            ts, s.base_pos, crawl_gap=weights.crawl_gap
+        )
         gait = jnp.mean((s.joint_pos - rq) ** 2, axis=(0, 1))
         gait = gait + gait_vel_weight * jnp.mean(
             (s.joint_vel - rqd) ** 2, axis=(0, 1)

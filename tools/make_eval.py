@@ -57,6 +57,40 @@ def _advance_clip(t_clip, loop=CLIP_LOOP):
     return loop[0] if t_clip > loop[1] else t_clip
 
 
+def gate_skill(scene, base_pos, element_id):
+    """Per-obstacle skill gating from scene geometry (host-side, numpy).
+
+    Returns the forced prior index for make_multigait_traversal_controller:
+    0 = walk, 1 = the element's obstacle skill (jump / crouch / climb).
+    The playground courses run along +x (playground_gen), so an x-window
+    test against the robot's base suffices — the solver-side counterpart
+    of the EPMC codebook selecting jump-like codes at obstacles
+    (epmc_net.py:166-174; clips mined for jump events by utils/obstacle.py).
+    Window half-widths cover the approach (enter early enough to set up the
+    skill) and the exit (body length must fully clear the obstacle)."""
+    c = np.asarray(scene.center)
+    h = np.asarray(scene.half)
+    a = np.asarray(scene.active).astype(bool)
+    x = float(np.asarray(base_pos)[0])
+    bottom = c[:, 2] - h[:, 2]
+    top = c[:, 2] + h[:, 2]
+    if element_id == 1:  # hurdles: ground boxes 0.05-0.15 tall -> jump
+        obst = a & (bottom < 0.02) & (top > 0.03) & (top < 0.2)
+        enter, exit_ = 0.7, 0.35
+    elif element_id == 2:  # holes: elevated bars -> crouch-crawl
+        obst = a & (bottom > 0.15) & (top > 0.3)
+        enter, exit_ = 0.8, 0.45
+    elif element_id == 3:  # cubes: ground boxes 0.1-0.3 tall -> climb
+        obst = a & (bottom < 0.02) & (top > 0.05) & (top <= 0.3)
+        enter, exit_ = 0.6, 0.6
+    else:
+        return 0
+    near = obst & ((c[:, 0] - h[:, 0]) - x < enter) & (
+        (c[:, 0] + h[:, 0]) - x > -exit_
+    )
+    return 1 if bool(near.any()) else 0
+
+
 def eval_traversal(seeds, cap, element_id, population, horizon):
     """Gait-prior traversal MPC (mpc_tasks.make_gait_traversal_controller:
     the solver-side LLC/MLC split; raw-delta MPPI cannot synthesize a gait
@@ -72,16 +106,20 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     import json as _json
 
     model = build_max_model()
-    # clip bank: walk/run loop + running jump + SYNTHESIZED crouch-walk
-    # (no crawl clip exists in the reference library; see
-    # motion_lib.crouch_variant) — base height ~0.19 m fits the 0.25-0.3 m
-    # hole gaps
+    # clip bank: walk/run loop + running jump + SYNTHESIZED crouch-walk and
+    # high-step climb variants (no crawl/climb clips exist in the reference
+    # library; see motion_lib.crouch_variant / highstep_variant). The crouch
+    # crawl keeps knees tucked (FK top ~0.22-0.23 m over the cycle) so the
+    # whole body fits the tightest 0.25 m hole gaps.
     walk_fr = np.asarray(_json.load(open(WALK_CLIP))["Frames"], np.float32)
     jump_fr = np.asarray(_json.load(open(JUMP_CLIP))["Frames"], np.float32)
-    crouch_fr = motion_lib.crouch_variant(
+    crouch_fr = motion_lib.crawl_variant(
         walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
     )
-    clips = motion_lib.pack_clips([walk_fr, jump_fr, crouch_fr],
+    climb_fr = motion_lib.highstep_variant(
+        walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
+    )
+    clips = motion_lib.pack_clips([walk_fr, jump_fr, crouch_fr, climb_fr],
                                   frame_step=1.0 / 120.0)
     # reference EVAL config parity (test_environmental_level_env.py:16-35):
     # friction 0.4-1.0 (training uses 0.4-3.0), pushes stay ON
@@ -92,21 +130,27 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=2,
                       sigma=0.12)
-    # skill bank per course: walk + jump for hurdles/cubes, walk + crouch
-    # for holes (the crouch prior relaxes the stand-height hinge: crawling
-    # under the bar is the point; pose reg off — the gait term owns pose)
+    # skill bank per course: [walk, element skill], selection GATED by scene
+    # geometry (gate_skill). The crouch prior relaxes the stand-height hinge
+    # (crawling under the bar is the point), marks elevated bars crawlable
+    # for the clearance hinge (crawl_gap), and plans at a fraction of the
+    # commanded speed; the climb prior lifts the swing arcs for cube steps.
     from lifelike_tpu.costs.traversal import TraversalWeights
 
     if element_id == 2:
-        crouch_w = TraversalWeights(height_min=0.10, pose=0.0)
-        priors = [(0, None), (2, crouch_w)]
+        crouch_w = TraversalWeights(height_min=0.08, pose=0.0,
+                                    crawl_gap=0.18)
+        priors = [(0, None), (2, crouch_w, 0.45)]
+    elif element_id == 3:
+        climb_w = TraversalWeights(pose=0.0)
+        priors = [(0, None), (3, climb_w, 0.6)]
     else:
         priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
         model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
     )
-    second_is_jump = element_id != 2
+    second_is_jump = element_id == 1
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
     results = []
@@ -132,22 +176,23 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         spd_cmd = jnp.minimum(s.target_spd, 1.3)
         for t in range(cap):
             key, k, ke = jax.random.split(key, 3)
+            gate = gate_skill(s.scene, s.robot.base_pos, element_id)
             tgt, u, sel, _ = ctrl(
                 k, s.robot, s.scene, s.target_pos, spd_cmd,
                 jnp.asarray([t_walk, t_jump], jnp.float32), u,
+                jnp.asarray(gate, jnp.int32),
             )
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
             t_walk = _advance_clip(t_walk, loop)
+            jumps += gate
             if second_is_jump:
-                if int(sel) == 1:  # jump engaged: play it through
-                    jumps += 1
+                if gate == 1:  # jump gated: play it through
                     t_jump = min(t_jump + 0.02, JUMP_END)
                     if t_jump >= JUMP_END:
                         t_jump = JUMP_T0
-                else:  # rewind an un-selected jump toward its approach
+                else:  # rewind an un-gated jump toward its approach
                     t_jump = max(JUMP_T0, t_jump - 0.06)
-            else:  # crouch prior loops in phase with the walk
-                jumps += int(sel) == 1
+            else:  # crouch/climb priors loop in phase with the walk
                 t_jump = _advance_clip(t_jump, CLIP_LOOP)
             reward_sum += float(r)
             if bool(done):
@@ -161,7 +206,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
                             reward=reward_sum, progress=d0 - d1))
         print(f"  element {element_id} seed {seed}: {outcome} in {t+1} steps "
               f"(progress {d0 - d1:.2f} m of {d0:.2f}, "
-              f"jump engaged {jumps} steps)", flush=True)
+              f"skill gated {jumps} steps)", flush=True)
     return results
 
 
@@ -251,7 +296,10 @@ def main():
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--skip_checkpoints", action="store_true")
     ap.add_argument("--only", default="", help="traversal|chase: run one section")
+    ap.add_argument("--elements", default="1,2,3",
+                    help="comma-separated element_ids for the traversal section")
     args = ap.parse_args()
+    elements = tuple(int(e) for e in args.elements.split(",") if e)
 
     t0 = time.time()
     platform = jax.devices()[0].platform
@@ -272,7 +320,7 @@ def main():
         "| course | success | outcomes (per seed) | mean steps |",
         "|---|---|---|---|",
     ]
-    for eid in (() if args.only == "chase" else (1, 2, 3)):
+    for eid in (() if args.only == "chase" else elements):
         print(f"traversal element {eid} ({ELEMENT_NAMES[eid]}):", flush=True)
         res = eval_traversal(args.seeds, args.cap, eid, args.population,
                              args.horizon)
