@@ -318,7 +318,7 @@ def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16,
     return f"epmc_solve_latency_pop{pop}_H{horizon}_k{contact_k}", ms
 
 
-def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze):
+def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused=False):
     """One alternating-best-response round = 2 MPPI solves (pop/2 each) +
     2 opponent plan rollouts, arena scene contact."""
     from lifelike_tpu.physics import batched as B
@@ -348,6 +348,23 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze):
     ]
     flag = jnp.asarray([0.0, 2.0, 0.25], jnp.float32)
 
+    if fused:
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+        from lifelike_tpu.solver import rollout_tl
+
+        sm = scalar_phys.build_scalar_model(model)
+        btab = traversal_pallas.pack_boxes(scene)
+        q0 = s0.joint_pos.reshape(4, 3)
+        zH = lambda *sh: jnp.zeros((horizon,) + sh + (1, 1), jnp.float32)
+        ref0 = rollout_tl.RefTraj(
+            target_joint=jnp.broadcast_to(
+                q0[None, ..., None, None], (horizon, 4, 3, 1, 1)
+            ),
+            joint_pos=zH(4, 3), joint_vel=zH(4, 3), foot_pos=zH(4, 3),
+            base_pos=zH(3), base_orn=zH(4), base_lin_vel=zH(3),
+            base_ang_vel=zH(3),
+        )
+
     def chained(M):
         @jax.jit
         def f(key, u0, u1):
@@ -361,11 +378,22 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze):
                         c, params, states[1 - r], u[1 - r], ts
                     )
 
-                    def rollout_fn(state_k, u_cand, opp=opp, r=r):
-                        cc, _ = rollout_tasks.rollout_chase(
-                            c, params, state_k, u_cand, ts, opp, flag, r == 0
-                        )
-                        return cc
+                    if fused:
+                        def rollout_fn(state_k, u_cand, opp=opp, r=r):
+                            return traversal_pallas.rollout_chase_fused(
+                                sm, params, state_k, u_cand, btab, ref0,
+                                opp, flag,
+                                jnp.asarray(1.0 if r == 0 else 0.0,
+                                            jnp.float32),
+                                gait_weight=0.0,
+                            )
+                    else:
+                        def rollout_fn(state_k, u_cand, opp=opp, r=r):
+                            cc, _ = rollout_tasks.rollout_chase(
+                                c, params, state_k, u_cand, ts, opp, flag,
+                                r == 0
+                            )
+                            return cc
 
                     u[r], diag = mppi_tl.mppi_step(
                         c, params, cfg, jax.random.fold_in(k, r), states[r],
@@ -519,7 +547,8 @@ def main():
         name, ms_ex = bench_epmc(pop, horizon, substeps, reps, m_hi,
                                  mass_freeze, fused=False)
         emit(name + "_exact", ms_ex)
-    name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze)
+    name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze,
+                             fused=fused)
     emit(name, ms_s)
     sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))
     sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 16, 128)))

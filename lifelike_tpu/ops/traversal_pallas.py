@@ -42,6 +42,10 @@ from lifelike_tpu.physics import batched as B
 
 BOX_WIDTH = 8  # packed box row: cx cy cz hx hy hz active pad
 
+# chase: the opponent's hoisted plan trajectory rides the spare packed-ref
+# columns (rollout_pallas uses 0..60; 64-wide rows leave 61..63 free)
+_OFF_OPP = 61  # 2: opponent base x, y at step t
+
 
 def pack_boxes(scene) -> jnp.ndarray:
     """BoxScene / TLScene -> (K, 8) float32 rows [c, h, active, 0]."""
@@ -94,7 +98,7 @@ def _posture_cost(s: SP.State, w: TraversalWeights):
     )
 
 
-def _clearance_cost(s: SP.State, bx, w: TraversalWeights, margin=0.15,
+def _clearance_cost(s: SP.State, bx, crawl_gap=0.0, margin=0.15,
                     tall_threshold=0.3):
     """rollout_tasks.clearance_cost_tl vectorized over the K boxes."""
     cx, cy, cz, hx, hy, hz, act = bx
@@ -103,8 +107,8 @@ def _clearance_cost(s: SP.State, bx, w: TraversalWeights, margin=0.15,
     horiz = jnp.sqrt(dx * dx + dy * dy)
     tall = ((cz + hz) > tall_threshold).astype(horiz.dtype)
     blocking = tall * act
-    if w.crawl_gap > 0.0:
-        blocking = blocking * ((cz - hz) < w.crawl_gap)
+    if crawl_gap > 0.0:
+        blocking = blocking * ((cz - hz) < crawl_gap)
     pen = jnp.maximum(margin - horiz, 0.0) * blocking
     return jnp.sum(pen * pen, axis=0)
 
@@ -169,7 +173,9 @@ def _trav_kernel(
         cost = cost + weights.heading * (1.0 - align)
         cost = cost + _posture_cost(s, weights)
         cost = cost + weights.fall * _fall_mask(s).astype(cost.dtype)
-        cost = cost + weights.clearance * _clearance_cost(s, bx, weights)
+        cost = cost + weights.clearance * _clearance_cost(
+            s, bx, weights.crawl_gap
+        )
 
         if gait_weight != 0.0:
             e_q = 0.0
@@ -191,6 +197,203 @@ def _trav_kernel(
         0, horizon, step, (state, d0 + zero, zero)
     )
     cost_ref[:] = total
+
+
+def pack_opp(ref_packed, opp_traj):
+    """Write the opponent plan into the packed reference's spare columns.
+
+    ref_packed: (H, 64) from pack_reference; opp_traj: (H, 3[, 1, 1])
+    hoisted opponent base positions (rollout_tasks.rollout_plan[_gait])."""
+    opp = opp_traj.reshape(opp_traj.shape[0], -1)[:, :2]
+    return ref_packed.at[:, _OFF_OPP:_OFF_OPP + 2].set(opp)
+
+
+def _chase_kernel(
+    ref_ref,  # (H, 64) packed gait reference + opponent plan columns
+    task_ref,  # (1, 8) [flag_x, flag_y, chaser_mask, ...]
+    boxes_ref,  # (K, 8) arena box table
+    bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,
+    ctrl_ref,
+    cost_ref,
+    *,
+    sm: SP.ScalarModel,
+    params,
+    horizon: int,
+    weights,
+    gait_weight: float,
+    gait_vel_weight: float,
+):
+    state = SP.State(
+        pb=tuple(bp_ref[i] for i in range(3)),
+        q=tuple(bo_ref[i] for i in range(4)),
+        vb=tuple(blv_ref[i] for i in range(3)),
+        wb=tuple(bav_ref[i] for i in range(3)),
+        jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
+        jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
+    )
+    btab = boxes_ref[:]
+    bx = tuple(btab[:, j][:, None, None] for j in range(7))
+    fp = (task_ref[0, 0], task_ref[0, 1])
+    chaser_m = task_ref[0, 2]
+
+    def step(t, carry):
+        s, acc = carry
+        rd = lambda col: ref_ref[t, col]
+        target = tuple(
+            tuple(
+                rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
+                for j in range(3)
+            )
+            for l in range(4)
+        )
+        s = SP.control_step(sm, params, s, target, boxes=bx)
+
+        opp = (rd(_OFF_OPP), rd(_OFF_OPP + 1))
+        # chaser: close the distance + heading (rollout_tasks.chaser_cost_tl)
+        dx = opp[0] - s.pb[0]
+        dy = opp[1] - s.pb[1]
+        d_opp = jnp.sqrt(dx * dx + dy * dy)
+        inv = 1.0 / jnp.maximum(d_opp, 1e-8)
+        m = SP.quat_to_mat(s.q)
+        fx, fy = m[0][0], m[1][0]
+        fnorm = jnp.maximum(jnp.sqrt(fx * fx + fy * fy), 1e-8)
+        align = (fx * dx * inv + fy * dy * inv) / fnorm
+        r_rot = jnp.exp((align - 1.0) * 2.0)
+        c_ch = weights.distance * d_opp + weights.heading * (1.0 - r_rot)
+        # escapee: evade + close on the flag (escapee_cost_tl)
+        fdx = fp[0] - s.pb[0]
+        fdy = fp[1] - s.pb[1]
+        d_flag = jnp.sqrt(fdx * fdx + fdy * fdy)
+        c_es = -weights.distance * d_opp + weights.distance * d_flag
+
+        cost = chaser_m * c_ch + (1.0 - chaser_m) * c_es
+        fall = _fall_mask(s)
+        cost = cost + weights.fall * fall.astype(cost.dtype)
+        cost = cost + _posture_cost(s, weights)
+        cost = cost + 0.5 * _clearance_cost(s, bx)
+
+        if gait_weight != 0.0:
+            e_q = 0.0
+            e_qd = 0.0
+            for l in range(4):
+                for j in range(3):
+                    dq = s.jq[l][j] - rd(_OFF_JP + l * 3 + j)
+                    e_q = SP.add(e_q, dq * dq)
+                    dv = s.jqd[l][j] - rd(_OFF_JV + l * 3 + j)
+                    e_qd = SP.add(e_qd, dv * dv)
+            cost = cost + gait_weight * (
+                e_q / 12.0 + gait_vel_weight * (e_qd / 12.0)
+            )
+        return s, acc + cost
+
+    dtype = ctrl_ref.dtype
+    _, total = jax.lax.fori_loop(
+        0, horizon, step, (state, jnp.zeros(ctrl_ref.shape[-2:], dtype))
+    )
+    cost_ref[:] = total
+
+
+def rollout_chase_fused(
+    model,
+    params,
+    state: B.TLState,
+    controls,
+    boxes,
+    ref,
+    opp_traj,
+    flag_pos,
+    is_chaser,
+    weights=None,
+    gait_weight=1.0,
+    gait_vel_weight=0.02,
+    interpret: bool = None,
+    bs_tile: int = None,
+):
+    """Fused replacement for rollout_tasks.rollout_chase_gait (cost only).
+
+    opp_traj: (H, 3[, 1, 1]) hoisted opponent plan; is_chaser: bool/float
+    scalar (masked-arithmetic role switch, one compiled solve serves both
+    roles); flag_pos: (3,). fall/role/arena cost parity with
+    rollout_tasks.rollout_chase[_gait] — pinned in
+    tests/test_traversal_pallas.py. Returns total_cost (Bs, 128).
+    """
+    from lifelike_tpu.costs.chase import ChaseWeights
+
+    if weights is None:
+        weights = ChaseWeights()
+    sm = model if isinstance(model, SP.ScalarModel) else SP.build_scalar_model(model)
+    H = controls.shape[0]
+    Bs, L = controls.shape[-2], controls.shape[-1]
+    if bs_tile is None:
+        bs_tile = BS_TILE
+    bs_tile = min(bs_tile, Bs)
+    assert L == LANES and Bs % bs_tile == 0, (Bs, L)
+    if state.base_pos.shape[-2:] != (Bs, L):
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, x.shape[:-2] + (Bs, L)), state
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+        boxes = pack_boxes(boxes)
+    K = boxes.shape[0]
+    ref_packed = pack_opp(pack_reference(ref), opp_traj)
+    fp = jnp.asarray(flag_pos).reshape(-1)[:2]
+    task = jnp.concatenate(
+        [fp, jnp.reshape(jnp.asarray(is_chaser, fp.dtype), (1,)),
+         jnp.zeros((5,), fp.dtype)]
+    ).reshape(1, BOX_WIDTH)
+
+    grid = (Bs // bs_tile,)
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (bs_tile, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _chase_kernel, sm=sm, params=params, horizon=H, weights=weights,
+        gait_weight=float(gait_weight),
+        gait_vel_weight=float(gait_vel_weight),
+    )
+    cost = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BOX_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((3,)),
+            spec((4,)),
+            spec((3,)),
+            spec((3,)),
+            spec((4, 3)),
+            spec((4, 3)),
+            spec((H, 4, 3)),
+        ],
+        out_specs=spec(()),
+        out_shape=jax.ShapeDtypeStruct((Bs, L), controls.dtype),
+        interpret=interpret,
+    )(
+        ref_packed,
+        task,
+        boxes,
+        state.base_pos,
+        state.base_orn,
+        state.base_lin_vel,
+        state.base_ang_vel,
+        state.joint_pos,
+        state.joint_vel,
+        controls,
+    )
+    return cost
 
 
 def rollout_traversal_fused(

@@ -338,6 +338,11 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
             )
             return us_new
 
+        # all line-search alphas ride ONE batched rollout (sequential depth
+        # is the latency wall at S ~ 8; alpha-stacking quarters the number
+        # of 500-substep-deep scans per iteration)
+        alphas = jnp.asarray(cfg.line_search, x0.dtype)
+
         def try_alpha(alpha):
             us_new = jax.vmap(fwd_one, in_axes=(None, 0, 0, 0, 0, 0))(
                 alpha, x0, us, xs, ks, Ks
@@ -345,11 +350,9 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
             _, _, cost_new = roll(x0, us_new)
             return us_new, cost_new
 
-        cands = [try_alpha(a) for a in cfg.line_search]
-        costs = jnp.stack([c for _, c in cands])  # (n_alpha, S)
-        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        us_stack, costs = jax.vmap(try_alpha)(alphas)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)  # (n_alpha, S)
         best = jnp.argmin(costs, axis=0)  # (S,)
-        us_stack = jnp.stack([u for u, _ in cands])  # (n_alpha, S, H, m)
         us_best = jnp.take_along_axis(
             us_stack, best[None, :, None, None], axis=0
         )[0]

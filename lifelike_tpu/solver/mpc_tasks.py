@@ -249,14 +249,22 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
 
 
 def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
-                           n_best_response=2, clip_idx=0, gait_weight=1.0):
+                           n_best_response=2, clip_idx=0, gait_weight=1.0,
+                           fused=False):
     """Chase solver with the walk-gait prior for BOTH robots (see
     make_gait_traversal_controller). f(key, robots, scene, flag_pos,
     with_flag, t_clip, u_warm (2,H,4,3)) -> (target_q_exec (2,12),
-    u_warm', diag)."""
+    u_warm', diag). fused=True runs the candidate rollouts through the
+    single-kernel Pallas chase path (ops.traversal_pallas.
+    rollout_chase_fused; population % 128 == 0)."""
     from lifelike_tpu.solver import rollout_tl
 
     policy_dt = params.dt * params.substeps
+    if fused:
+        assert cfg.population % 128 == 0, cfg.population
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+
+        sm = scalar_phys.build_scalar_model(model)
 
     @jax.jit
     def solve(key, robots, scene, flag_pos, with_flag, t_clip, u_warm):
@@ -265,6 +273,8 @@ def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
             model, clips, jnp.asarray(clip_idx), t_clip, cfg.horizon,
             policy_dt,
         )
+        if fused:
+            btab = traversal_pallas.pack_boxes(scene)
         states = [
             _tl_single(jax.tree.map(lambda x, i=i: x[i], robots))
             for i in (0, 1)
@@ -278,13 +288,21 @@ def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
                     c, params, states[j], u[j], ts, ref
                 )
 
-                def rollout_fn(state_k, u_cand, opp=opp_traj,
-                               role=with_flag[i]):
-                    cost, _ = rollout_tasks.rollout_chase_gait(
-                        c, params, state_k, u_cand, ts, ref, opp, flag_pos,
-                        role, gait_weight=gait_weight,
-                    )
-                    return cost
+                if fused:
+                    def rollout_fn(state_k, u_cand, opp=opp_traj,
+                                   role=with_flag[i]):
+                        return traversal_pallas.rollout_chase_fused(
+                            sm, params, state_k, u_cand, btab, ref, opp,
+                            flag_pos, role, gait_weight=gait_weight,
+                        )
+                else:
+                    def rollout_fn(state_k, u_cand, opp=opp_traj,
+                                   role=with_flag[i]):
+                        cost, _ = rollout_tasks.rollout_chase_gait(
+                            c, params, state_k, u_cand, ts, ref, opp,
+                            flag_pos, role, gait_weight=gait_weight,
+                        )
+                        return cost
 
                 key, k = jax.random.split(key)
                 u[i], diag = mppi_tl.mppi_step(

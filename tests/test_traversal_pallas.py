@@ -120,6 +120,32 @@ def test_fused_traversal_crawl_gap_and_freeze():
     )
 
 
+@pytest.mark.parametrize("role", [True, False])
+def test_fused_chase_matches_scan(role):
+    """rollout_chase_gait (tile oracle) vs the fused chase kernel, both
+    roles through the masked-arithmetic switch."""
+    c, params, tl, u, ref, scene = _setup()
+    ts = engine_tl.tl_scene(scene)
+    H = u.shape[0]
+    opp = jnp.stack([
+        jnp.linspace(1.0, 1.5, H), jnp.linspace(0.2, 0.0, H), jnp.full((H,), 0.3)
+    ], axis=1)[..., None, None]
+    flag = jnp.asarray([2.0, -1.0, 0.3], jnp.float32)
+    want, _ = jax.jit(
+        lambda s, u: rollout_tasks.rollout_chase_gait(
+            c, params, s, u, ts, ref, opp, flag,
+            jnp.asarray(role), gait_weight=0.8,
+        )
+    )(tl, u)
+    got = traversal_pallas.rollout_chase_fused(
+        MODEL, params, tl, u, scene, ref, opp, flag,
+        jnp.asarray(1.0 if role else 0.0, jnp.float32), gait_weight=0.8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_box_contact_actually_fires():
     """The scene must change the fused cost (boxes are in the loop)."""
     c, params, tl, u, ref, scene = _setup(H=5)

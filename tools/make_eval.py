@@ -79,7 +79,7 @@ def gate_skill(scene, base_pos, element_id):
         enter, exit_ = 0.7, 0.35
     elif element_id == 2:  # holes: elevated bars -> crouch-crawl
         obst = a & (bottom > 0.15) & (top > 0.3)
-        enter, exit_ = 0.8, 0.45
+        enter, exit_ = 0.55, 0.4
     elif element_id == 3:  # cubes: ground boxes 0.1-0.3 tall -> climb
         obst = a & (bottom < 0.02) & (top > 0.05) & (top <= 0.3)
         enter, exit_ = 0.6, 0.6
@@ -109,12 +109,14 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     # clip bank: walk/run loop + running jump + SYNTHESIZED crouch-walk and
     # high-step climb variants (no crawl/climb clips exist in the reference
     # library; see motion_lib.crouch_variant / highstep_variant). The crouch
-    # crawl keeps knees tucked (FK top ~0.22-0.23 m over the cycle) so the
-    # whole body fits the tightest 0.25 m hole gaps.
+    # crouch fold (0.4/1.1) crawls at ~0.24 m/s open-loop with the body
+    # top at ~0.23 m under PD sag — it fits the 0.25-0.3 m hole gaps and,
+    # unlike deeper folds, keeps the feet (not the knee wheels) carrying.
     walk_fr = np.asarray(_json.load(open(WALK_CLIP))["Frames"], np.float32)
     jump_fr = np.asarray(_json.load(open(JUMP_CLIP))["Frames"], np.float32)
-    crouch_fr = motion_lib.crawl_variant(
-        walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
+    crouch_fr = motion_lib.crouch_variant(
+        walk_fr, hip_delta=0.4, knee_delta=1.1,
+        joint_lower=model.joint_lower, joint_upper=model.joint_upper
     )
     climb_fr = motion_lib.highstep_variant(
         walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
@@ -140,7 +142,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.08, pose=0.0,
                                     crawl_gap=0.18)
-        priors = [(0, None), (2, crouch_w, 0.45)]
+        priors = [(0, None), (2, crouch_w, 0.5)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)
         priors = [(0, None), (3, climb_w, 0.6)]
