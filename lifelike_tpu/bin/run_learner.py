@@ -198,21 +198,30 @@ def main(argv):
                         env_state=env_state)
 
     elif FLAGS.task == "epmc":
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process training is wired for --task=pmc; shard the "
-                "recurrent learners the same way (dist.host_local_batch on "
-                "env_state/obs/hs/replay) to extend"
-            )
         from lifelike_tpu.models.epmc import EPMCConfig, EPMCNet
 
         bundle = factory.create_playground_game(**env_config)
         net = EPMCNet(EPMCConfig(**{k: v for k, v in pol_config.items()
                                     if k in EPMCConfig._fields}))
-        env_state, obs = bundle.reset(key, batch=(B,))
-        hs = net.initial_state((B,))
+        # Multi-process: the pmc host-local-batch pattern extended to the
+        # recurrent learner state — env_state/obs/hs/prev_done shard on
+        # their leading batch axis, and the replay's per-env-window
+        # (slots, W, ...) data leaves on the slot axis, so the global
+        # buffer aggregates every process's windows (the reference's
+        # per-learner replay + Horovod grad allreduce collapses into one
+        # SPMD program; run_pg_learner.py:76-85).
+        nproc = jax.process_count()
+        assert B % nproc == 0, (B, nproc)
+        Bl = B // nproc
+        mesh = dist.global_mesh() if nproc > 1 else None
+        env_state, obs = bundle.reset(
+            jax.random.fold_in(key, jax.process_index()) if nproc > 1
+            else key,
+            batch=(Bl,),
+        )
+        hs = net.initial_state((Bl,))
         params = net.init({"params": key, "z": key}, obs._asdict(), hs,
-                          jnp.zeros(B))
+                          jnp.zeros(Bl))
         if FLAGS.init_model:
             donor = pool.load_file("init", FLAGS.init_model)
             paths = [tuple(p.split("/")) for p in FLAGS.init_model_subtree.split(",")]
@@ -226,11 +235,19 @@ def main(argv):
         else:
             optimizer = learner.make_optimizer(cfg)
         opt_state = optimizer.init(params)
-        prev_done = jnp.zeros(B, bool)
+        prev_done = jnp.zeros(Bl, bool)
         cfg = _fit_burn_in(cfg)
         replay = recurrent.recurrent_replay_init(
             cfg, recurrent.rollout_example(cfg, obs, hs)
         )
+        if nproc > 1:
+            env_state = dist.host_local_batch(mesh, env_state)
+            obs = dist.host_local_batch(mesh, obs)
+            hs = dist.host_local_batch(mesh, hs)
+            prev_done = dist.host_local_batch(mesh, prev_done)
+            replay = dist.host_local_axis(mesh, replay, 0)
+            params = dist.replicate(mesh, params)
+            opt_state = dist.replicate(mesh, opt_state)
 
         @jax.jit
         def train(params, opt_state, env_state, obs, hs, prev_done, replay,
@@ -240,7 +257,9 @@ def main(argv):
                 params, opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
-        ckpt = _make_ckpt(registry)
+        ckpt = _make_ckpt(registry) if nproc == 1 else None
+        if nproc > 1 and FLAGS.train_checkpoint:
+            logging.warning("train_checkpoint disabled under multi-process")
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
@@ -264,24 +283,30 @@ def main(argv):
     elif FLAGS.task == "sepmc":
         # Self-play Chase Tag (reference example_sepmc_train.sh: PFSPGameMgr
         # over frozen historical models, init from the EPMC stage model).
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process training is wired for --task=pmc; shard the "
-                "recurrent learners the same way to extend"
-            )
         from lifelike_tpu.models.sepmc import SEPMCConfig, SEPMCNet
 
         bundle = factory.create_chase_tag_game(**env_config)
         net = SEPMCNet(SEPMCConfig(**{k: v for k, v in pol_config.items()
                                       if k in SEPMCConfig._fields}))
         league.game_mgr_type = "pfsp"
-        env_state, obs = bundle.reset(key, batch=(B,))
-        hs = net.initial_state((B, 2))
+        # Multi-process: same sharding pattern as epmc; the league/PFSP
+        # bookkeeping stays host-side and deterministic (same seed -> every
+        # process samples the same opponent), so only rank 0 persists.
+        nproc = jax.process_count()
+        assert B % nproc == 0, (B, nproc)
+        Bl = B // nproc
+        mesh = dist.global_mesh() if nproc > 1 else None
+        env_state, obs = bundle.reset(
+            jax.random.fold_in(key, jax.process_index()) if nproc > 1
+            else key,
+            batch=(Bl,),
+        )
+        hs = net.initial_state((Bl, 2))
         obs0 = recurrent._agent_obs(obs, 0)
         flat = {f: getattr(obs0, f) for f in obs0._fields}
         params = net.init(
             {"params": key, "hlc": key, "z": key}, flat, hs[:, 0],
-            jnp.zeros(B),
+            jnp.zeros(Bl),
         )
         if FLAGS.init_model:
             donor = pool.load_file("init", FLAGS.init_model)
@@ -298,19 +323,29 @@ def main(argv):
         else:
             optimizer = learner.make_optimizer(cfg)
         opt_state = optimizer.init(params)
-        prev_done = jnp.zeros(B, bool)
+        prev_done = jnp.zeros(Bl, bool)
         cfg = _fit_burn_in(cfg)
         replay = recurrent.recurrent_replay_init(
             cfg, recurrent.rollout_example(cfg, recurrent._agent_obs(obs, 0),
                                            hs[:, 0])
         )
+        if nproc > 1:
+            env_state = dist.host_local_batch(mesh, env_state)
+            obs = dist.host_local_batch(mesh, obs)
+            hs = dist.host_local_batch(mesh, hs)
+            prev_done = dist.host_local_batch(mesh, prev_done)
+            replay = dist.host_local_axis(mesh, replay, 0)
+            params = dist.replicate(mesh, params)
+            opt_state = dist.replicate(mesh, opt_state)
 
         pool.push("model_0000000", params, meta={"update": 0},
-                  persist=bool(FLAGS.model_pool_dir))
+                  persist=bool(FLAGS.model_pool_dir) and dist.is_main())
         league.add_to_population("model_0000000")
         rng = np.random.default_rng(FLAGS.seed)
         opp_key = league.sample_opponent(rng)
         params_opp = pool.pull(opp_key)
+        if nproc > 1:
+            params_opp = dist.replicate(mesh, params_opp)
 
         @jax.jit
         def train(params, params_opp, opt_state, env_state, obs, hs,
@@ -320,7 +355,9 @@ def main(argv):
                 opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
-        ckpt = _make_ckpt(registry)
+        ckpt = _make_ckpt(registry) if nproc == 1 else None
+        if nproc > 1 and FLAGS.train_checkpoint:
+            logging.warning("train_checkpoint disabled under multi-process")
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
@@ -350,12 +387,14 @@ def main(argv):
             if (i + 1) % FLAGS.update_opponent_freq == 0:
                 opp_key = league.sample_opponent(rng)
                 params_opp = pool.pull(opp_key)
+                if nproc > 1:
+                    params_opp = dist.replicate(mesh, params_opp)
                 logging.info("PFSP opponent -> %s (win rate %.2f)",
                              opp_key, league.win_rate(opp_key))
     else:
         raise ValueError(f"unknown task {FLAGS.task}")
 
-    if FLAGS.checkpoint_dir:
+    if FLAGS.checkpoint_dir and dist.is_main():
         league.checkpoint()
     logging.info("done: %d updates", FLAGS.total_updates)
 
@@ -368,12 +407,13 @@ def _log_publish(i, metrics, t0, cfg, B, params, pool, league):
              for k, v in metrics.items()}
         sps = cfg.unroll_length * B / (time.time() - t0)
         logging.info("update %d: %s | env steps/s %.0f", i, m, sps)
-    if jax.process_count() > 1 and not dist.is_main():
-        return
     if i % FLAGS.pub_interval == 0:
+        # every process mirrors the pool/league bookkeeping (params are
+        # replicated, so the entries are identical and PFSP opponent
+        # sampling stays in lockstep); only rank 0 persists to disk
         key_name = f"model_{i:07d}"
         pool.push(key_name, params, meta={"update": i},
-                  persist=bool(FLAGS.model_pool_dir))
+                  persist=bool(FLAGS.model_pool_dir) and dist.is_main())
         league.add_to_population(key_name)
 
 

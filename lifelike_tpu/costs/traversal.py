@@ -35,6 +35,12 @@ class TraversalWeights(NamedTuple):
     height_min: float = 0.26
     upright: float = 2.0  # 1 - body up-vector z
     pose: float = 0.05  # squared deviation from the stand pose
+    # Crawl ceiling for the crouch skill: when ceiling > 0, a hinge
+    # penalizes base height ABOVE it, pressing samples flat under hole
+    # bars (the gait prior's z oscillation otherwise grazes the bar and
+    # bounces the crawl back; measured in tools/debug_traversal.py).
+    ceiling: float = 0.0
+    ceiling_w: float = 8.0
     # Crawl gating for the crouch skill: boxes whose bottom face sits at
     # least crawl_gap above the ground (the playground hole bars,
     # bullet_static_entities.py:366-422: 0.25-0.3 m gaps) are CRAWLABLE —
@@ -62,11 +68,14 @@ def posture_cost(state: RobotState, weights=None):
     )
     stand = jnp.asarray(STAND_POSE, state.joint_pos.dtype)
     pose_err = jnp.mean((state.joint_pos - stand) ** 2, axis=-1)
-    return (
+    cost = (
         w.height * jnp.maximum(w.height_min - z, 0.0)
         + w.upright * (1.0 - up_z)
         + w.pose * pose_err
     )
+    if w.ceiling > 0.0:
+        cost = cost + w.ceiling_w * jnp.maximum(z - w.ceiling, 0.0)
+    return cost
 
 
 def _dense_shaping(spd, align, target_spd, weights):

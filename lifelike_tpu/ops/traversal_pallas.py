@@ -91,11 +91,14 @@ def _posture_cost(s: SP.State, w: TraversalWeights):
         for j in range(3):
             dq = s.jq[l][j] - STAND_POSE[l * 3 + j]
             pose_err = SP.add(pose_err, dq * dq)
-    return (
+    cost = (
         w.height * jnp.maximum(w.height_min - s.pb[2], 0.0)
         + w.upright * (1.0 - up_z)
         + w.pose * (pose_err / 12.0)
     )
+    if getattr(w, "ceiling", 0.0) > 0.0:
+        cost = cost + w.ceiling_w * jnp.maximum(s.pb[2] - w.ceiling, 0.0)
+    return cost
 
 
 def _clearance_cost(s: SP.State, bx, crawl_gap=0.0, margin=0.15,

@@ -111,6 +111,41 @@ def host_local_batch(mesh, tree, axis="batch"):
     return jax.tree.map(place, tree)
 
 
+def host_local_axis(mesh, tree, axis_idx, axis="batch"):
+    """host_local_batch for a NON-leading batch axis.
+
+    The recurrent replay buffer's data leaves are (slots, W, B, ...) —
+    the env batch sits at axis 2 (learning/replay.py windows) — so sharding
+    them across processes needs a PartitionSpec with `axis` at `axis_idx`.
+    Leaves with <= axis_idx dims (the replay cursor/filled scalars) are
+    replicated instead: every process advances them identically inside the
+    SPMD step.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nproc = jax.process_count()
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim <= axis_idx:
+            sh = NamedSharding(mesh, P())
+            if nproc == 1:
+                return jax.device_put(x, sh)
+            return jax.make_array_from_process_local_data(sh, x, x.shape)
+        sh = NamedSharding(mesh, P(*([None] * axis_idx + [axis])))
+        if nproc == 1:
+            return jax.device_put(x, sh)
+        global_shape = (
+            x.shape[:axis_idx]
+            + (x.shape[axis_idx] * nproc,)
+            + x.shape[axis_idx + 1:]
+        )
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(place, tree)
+
+
 def replicate(mesh, tree):
     """Replicate a host-local pytree onto every device of the global mesh
     (all processes must pass identical values — e.g. same-seed inits)."""

@@ -67,11 +67,14 @@ def posture_cost_tl(s: B.TLState, w):
     pose_err = jnp.mean(
         (s.joint_pos - stand[..., None, None]) ** 2, axis=(0, 1)
     )
-    return (
+    cost = (
         w.height * jnp.maximum(w.height_min - z, 0.0)
         + w.upright * (1.0 - up_z)
         + w.pose * pose_err
     )
+    if getattr(w, "ceiling", 0.0) > 0.0:
+        cost = cost + w.ceiling_w * jnp.maximum(z - w.ceiling, 0.0)
+    return cost
 
 
 def _direction_terms(s: B.TLState, target_pos):

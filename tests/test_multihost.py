@@ -18,6 +18,37 @@ import sys
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+def _run_learner_2proc(task, extra=()):
+    cmd = [sys.executable, os.path.join(REPO, "tools", "launch_multihost.py"),
+           "-n", "2", "--devices", "2", "--",
+           sys.executable, "-m", "lifelike_tpu.bin.run_learner",
+           f"--task={task}", "--cpu", "--num_envs=8", "--total_updates=2",
+           "--log_interval=1",
+           "--learner_config={'unroll_length': 4, 'rollout_length': 2, "
+           "'batch_windows': 2, 'num_updates': 1, 'replay_size': 8}",
+           *extra]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                         cwd=REPO)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    logs = out.stdout + out.stderr
+    assert logs.count("done: 2 updates") == 2, logs[-2000:]
+    # SPMD parity: both processes must report the SAME update-1 loss
+    losses = {ln.split("'loss': ")[1].split(",")[0]
+              for ln in logs.splitlines() if "update 1: {" in ln}
+    assert len(losses) == 1, losses
+
+
+def test_two_process_epmc_learner():
+    """Reference Horovod DP applies to every stage (run_pg_learner.py:76-85);
+    the recurrent EPMC learner must train as one 2-process SPMD program."""
+    _run_learner_2proc("epmc")
+
+
+def test_two_process_sepmc_learner():
+    """Self-play stage: 2-process SPMD training with lockstep PFSP."""
+    _run_learner_2proc("sepmc", ("--update_opponent_freq=1",))
+
+
 def test_two_process_pod_solve_and_train():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "launch_multihost.py"),

@@ -70,7 +70,8 @@ def main():
     mcfg = MPPIConfig(horizon=args.horizon, population=args.population,
                       iterations=2, sigma=0.12)
     if element_id == 2:
-        crouch_w = TraversalWeights(height_min=0.08, pose=0.0, crawl_gap=0.18)
+        crouch_w = TraversalWeights(height_min=0.08, pose=0.0, crawl_gap=0.18,
+                                    ceiling=0.155)
         priors = [(0, None), (2, crouch_w, 0.5)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)

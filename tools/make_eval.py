@@ -141,7 +141,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
 
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.08, pose=0.0,
-                                    crawl_gap=0.18)
+                                    crawl_gap=0.18, ceiling=0.155)
         priors = [(0, None), (2, crouch_w, 0.5)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)
