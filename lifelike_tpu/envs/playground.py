@@ -46,6 +46,11 @@ class PlaygroundConfig(NamedTuple):
     obs_noise_pos_xy: float = 0.0
     obs_noise_yaw: float = 0.0
     obs_noise_pos_z: float = 0.0
+    # hard-contact plant: step the robot with the impulse PGS solver
+    # (physics/impulse.py box rows — Bullet's solver discipline,
+    # legged_robot.py:260-264) instead of the compliant penalty engine.
+    # The fidelity/eval mode; the sampling MPC keeps planning compliant.
+    hard_contact: bool = False
 
     @property
     def policy_dt(self):
@@ -208,9 +213,27 @@ def step(model: MaxModel, cfg: PlaygroundConfig, s: PlaygroundState, action, key
         foot_friction=s.friction[..., None], ext_force=ext_force
     )
     target_q = s.robot.joint_pos + a_llc
-    # Full box SDF contact: walls and hurdle faces push back (Bullet
-    # hard-collision parity) instead of acting as raised ground only.
-    robot = engine.control_step(model, params, s.robot, target_q, scene=s.scene)
+    if cfg.hard_contact:
+        # impulse PGS plant (hard contact incl. box rows); warm-start
+        # impulses reset per control step — hard contact without threading
+        # a lam carry through the env state (Bullet warm-starts across
+        # steps; within-step the 10-substep chain still warm-starts).
+        from lifelike_tpu.physics import impulse
+
+        ip = impulse.ImpulseParams(
+            kp=cfg.params.kp, kd=cfg.params.kd, max_tau=cfg.params.max_tau,
+            mu=s.friction, dt=cfg.params.dt, substeps=cfg.params.substeps,
+            ext_force=ext_force,
+        )
+        lam = impulse.init_lam(s.robot.base_pos.shape[:-1],
+                               s.robot.base_pos.dtype, scene=s.scene)
+        robot, _ = impulse.control_step(model, ip, s.robot, lam, target_q,
+                                        scene=s.scene)
+    else:
+        # Full box SDF contact: walls and hurdle faces push back (Bullet
+        # hard-collision parity) instead of acting as raised ground only.
+        robot = engine.control_step(model, params, s.robot, target_q,
+                                    scene=s.scene)
 
     # speed toward target (playground_env.py:481-489)
     diff = (target_pos - robot.base_pos)[..., :2]

@@ -26,8 +26,13 @@ measured against the committed hard-contact golden traces it closes the
 BASELINE.md north-star criterion (<1e-2 rad over H=50) that the compliant
 mode cannot meet.
 
-Flat-ground only (the fidelity criterion's setting); box scenes stay on the
-compliant path.
+Scenes: the flat-ground system (60 rows) is the PMC fidelity setting; passing
+a scene.boxes.BoxScene adds one deepest-box contact row-triple per sphere —
+feet, wheels, AND the six trunk proxy spheres — covering the EPMC/SEPMC box
+worlds (hurdle/hole-bar/cube faces, corridor walls; reference
+bullet_static_entities.py:310-500 geometry, resolved by the same Bullet hard
+solver per legged_robot.py:260-264). tools/bullet_oracle.py builds the
+identical rows in the identical order.
 """
 from functools import partial
 from typing import NamedTuple
@@ -43,15 +48,30 @@ from lifelike_tpu.physics.dynamics import RobotState
 
 NV = 18  # 3 ang + 3 lin + 12 joints (generalized velocity [w, v_origin, qd])
 N_SPHERES = 8  # 4 feet (link 2) + 4 wheels (link 1)
+N_TRUNK = 6  # trunk proxy spheres (engine._TRUNK_OFFSETS), box contact only
+N_BOX_SPHERES = N_SPHERES + N_TRUNK  # feet + wheels + trunk vs boxes
 N_CONTACT_ROWS = 3 * N_SPHERES  # normal, tangent-x, tangent-y per sphere
 N_JOINT_ROWS = 3 * 12  # friction, lower-limit, upper-limit per joint
-N_ROWS = N_CONTACT_ROWS + N_JOINT_ROWS  # 60
+N_ROWS = N_CONTACT_ROWS + N_JOINT_ROWS  # 60 (flat-ground system)
+# box-scene system: plane rows, then one deepest-box contact per sphere
+# (Bullet's sphere-box manifold is a single point), then joint rows
+N_ROWS_BOX = N_CONTACT_ROWS + 3 * N_BOX_SPHERES + N_JOINT_ROWS  # 102
+
+
+def _mu_idx(with_boxes: bool) -> np.ndarray:
+    """Static friction-coupling map: row -> index of its normal row (-1)."""
+    n_sph = N_SPHERES + (N_BOX_SPHERES if with_boxes else 0)
+    n = 3 * n_sph + N_JOINT_ROWS
+    idx = np.full(n, -1, np.int32)
+    for s in range(n_sph):
+        idx[3 * s + 1] = 3 * s
+        idx[3 * s + 2] = 3 * s
+    return idx
+
 
 # Row index of the normal row each friction/tangent row couples to (-1: none).
-_MU_IDX = np.full(N_ROWS, -1, np.int32)
-for _s in range(N_SPHERES):
-    _MU_IDX[3 * _s + 1] = 3 * _s
-    _MU_IDX[3 * _s + 2] = 3 * _s
+_MU_IDX = _mu_idx(False)
+_MU_IDX_BOX = _mu_idx(True)
 
 
 class ImpulseParams(NamedTuple):
@@ -74,9 +94,46 @@ class ImpulseParams(NamedTuple):
     use_pallas_pgs: bool = False
 
 
-def init_lam(batch_shape=(), dtype=jnp.float32):
-    """Zero warm-start impulses; carry through control_step calls."""
-    return jnp.zeros(batch_shape + (N_ROWS,), dtype)
+def init_lam(batch_shape=(), dtype=jnp.float32, scene=None):
+    """Zero warm-start impulses; carry through control_step calls.
+    Box scenes carry the larger N_ROWS_BOX system."""
+    n = N_ROWS if scene is None else N_ROWS_BOX
+    return jnp.zeros(batch_shape + (n,), dtype)
+
+
+def _tangent_basis(n):
+    """Deterministic orthonormal tangents for a unit normal (..., 3).
+
+    t1 = n x z unless n is (anti)parallel to z, then n x x — the SAME
+    branch/threshold as tools/bullet_oracle.py (row parity requires it)."""
+    ez = jnp.zeros_like(n).at[..., 2].set(1.0)
+    ex = jnp.zeros_like(n).at[..., 0].set(1.0)
+    t1a = jnp.cross(n, ez)
+    t1b = jnp.cross(n, ex)
+    use_b = jnp.sum(t1a * t1a, axis=-1, keepdims=True) < 1e-6
+    t1 = jnp.where(use_b, t1b, t1a)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-12)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _box_sdf(p, center, half):
+    """Signed distance + outward unit normal of a point vs one AABB.
+
+    p (..., 3) vs center/half (..., K, 3) -> (dist (..., K), n (..., K, 3)).
+    Same face convention as physics.contact.sphere_boxes_force."""
+    r = p[..., None, :] - center
+    q = jnp.abs(r) - half
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.sqrt(jnp.sum(outside * outside, axis=-1) + 1e-12)
+    d_in = jnp.max(q, axis=-1)
+    inside = d_in < 0.0
+    dist = jnp.where(inside, d_in, d_out)
+    sign = jnp.where(r >= 0.0, 1.0, -1.0)
+    face = (q >= d_in[..., None]).astype(p.dtype)
+    face = face / jnp.sum(face, axis=-1, keepdims=True).clip(1.0)
+    n = jnp.where(inside[..., None], sign * face, sign * outside / d_out[..., None])
+    return dist, n
 
 
 # M^{-1} application now lives in dynamics.minv_apply_rows, sharing one
@@ -106,13 +163,76 @@ def _point_rows(kin, base_pos, p, leg_link_mask):
     return jnp.concatenate([J_ang, J_lin, Jq_full], axis=-1)
 
 
-def _build_rows(model, p: ImpulseParams, state: RobotState, kin):
-    """Assemble the static 60-row system: J (..., 60, 18), b, lo, hi (..., 60).
+def _box_rows(model, p: ImpulseParams, state: RobotState, kin, Jf, Jw, scene):
+    """One deepest-box contact row-triple per sphere (feet, wheels, trunk).
+
+    Bullet's sphere-box collision emits a single manifold point; the deepest
+    active box per sphere reproduces that. Returns (J (..., 42, 18), b, lo,
+    hi (..., 42)) in the fixed order feet 0-3, wheels 0-3, trunk 0-5 — the
+    SAME order tools/bullet_oracle.py appends its box rows.
+    """
+    from lifelike_tpu.physics.engine import _TRUNK_OFFSETS, _TRUNK_RADIUS
+
+    dtype = state.base_pos.dtype
+    dt = p.dt
+    inf = jnp.asarray(jnp.inf, dtype)
+    batch = state.base_pos.shape[:-1]
+
+    # trunk spheres: world positions + base-attached point Jacobians
+    R = quat.to_matrix(state.base_orn)  # (..., 3, 3)
+    offs = jnp.asarray(_TRUNK_OFFSETS, dtype)  # (6, 3)
+    offs_w = jnp.einsum("...ij,pj->...pi", R, offs)  # (..., 6, 3)
+    p_tr = state.base_pos[..., None, :] + offs_w
+    J_ang = -skew(offs_w)  # p - base == offs_w
+    J_lin = jnp.broadcast_to(jnp.eye(3, dtype=dtype), J_ang.shape)
+    J_tr = jnp.concatenate(
+        [J_ang, J_lin, jnp.zeros(batch + (N_TRUNK, 3, 12), dtype)], axis=-1
+    )  # (..., 6, 3, 18)
+
+    pts = jnp.concatenate([kin.p_foot, kin.p_wheel, p_tr], axis=-2)
+    Jp = jnp.concatenate([Jf, Jw, J_tr], axis=-3)  # (..., 14, 3, 18)
+    radii = jnp.concatenate([
+        jnp.full((4,), model.foot_radius, dtype),
+        jnp.full((4,), model.wheel_radius, dtype),
+        jnp.full((N_TRUNK,), _TRUNK_RADIUS, dtype),
+    ])
+
+    dist, n = _box_sdf(pts, scene.center, scene.half)  # (...,14,K), (...,14,K,3)
+    dist = jnp.where(scene.active, dist, inf)
+    pen = radii[:, None] - dist  # (..., 14, K)
+    k_best = jnp.argmax(pen, axis=-1)  # (..., 14)
+    pen_b = jnp.take_along_axis(pen, k_best[..., None], axis=-1)[..., 0]
+    n_b = jnp.take_along_axis(n, k_best[..., None, None], axis=-2)[..., 0, :]
+    active = pen_b > 0.0
+
+    t1, t2 = _tangent_basis(n_b)
+    J_n = jnp.einsum("...sc,...scv->...sv", n_b, Jp)
+    J_t1 = jnp.einsum("...sc,...scv->...sv", t1, Jp)
+    J_t2 = jnp.einsum("...sc,...scv->...sv", t2, Jp)
+    Jrows = jnp.stack([J_n, J_t1, J_t2], axis=-2)  # (..., 14, 3, 18)
+
+    b_n = p.erp * jnp.maximum(pen_b - p.slop, 0.0) / dt * active
+    zero = jnp.zeros_like(b_n)
+    b = jnp.stack([b_n, zero, zero], axis=-1)
+    lo = jnp.zeros_like(b)
+    hi = jnp.stack([jnp.where(active, inf, 0.0), zero, zero], axis=-1)
+    nb = 3 * N_BOX_SPHERES
+    return (
+        Jrows.reshape(batch + (nb, NV)),
+        b.reshape(batch + (nb,)),
+        lo.reshape(batch + (nb,)),
+        hi.reshape(batch + (nb,)),
+    )
+
+
+def _build_rows(model, p: ImpulseParams, state: RobotState, kin, scene=None):
+    """Assemble the static row system: J (..., N, 18), b, lo, hi (..., N).
 
     Row order matches tools/bullet_oracle.py's compacted active list exactly
-    (feet then wheels, each n/t1/t2; then per joint friction, lower, upper),
-    with inactive rows clamped lo=hi=0 so their Gauss-Seidel updates are
-    no-ops — bit-equivalent to skipping them.
+    (feet then wheels, each n/t1/t2; then — box scenes — one deepest-box
+    contact per foot/wheel/trunk sphere; then per joint friction, lower,
+    upper), with inactive rows clamped lo=hi=0 so their Gauss-Seidel updates
+    are no-ops — bit-equivalent to skipping them.
     """
     dtype = state.base_pos.dtype
     dt = p.dt
@@ -174,37 +294,52 @@ def _build_rows(model, p: ImpulseParams, state: RobotState, kin):
     def flat(x, tail):
         return x.reshape(x.shape[: len(batch)] + tail)
 
+    if scene is not None:
+        Jb_r, bb, lob, hib = _box_rows(model, p, state, kin, Jf, Jw, scene)
+        box_J = [Jb_r]
+        box_b, box_lo, box_hi = [bb], [lob], [hib]
+    else:
+        box_J = box_b = box_lo = box_hi = []
+
     J = jnp.concatenate(
-        [flat(Jf_r, (12, NV)), flat(Jw_r, (12, NV)), flat(J_joint, (36, NV))],
+        [flat(Jf_r, (12, NV)), flat(Jw_r, (12, NV))]
+        + box_J + [flat(J_joint, (36, NV))],
         axis=-2,
     )
     b = jnp.concatenate(
-        [flat(bf, (12,)), flat(bw, (12,)), flat(b_joint, (36,))], axis=-1
+        [flat(bf, (12,)), flat(bw, (12,))] + box_b + [flat(b_joint, (36,))],
+        axis=-1,
     )
     lo = jnp.concatenate(
-        [flat(lof, (12,)), flat(lo_w, (12,)), flat(lo_joint, (36,))], axis=-1
+        [flat(lof, (12,)), flat(lo_w, (12,))] + box_lo
+        + [flat(lo_joint, (36,))],
+        axis=-1,
     )
     hi = jnp.concatenate(
-        [flat(hif, (12,)), flat(hi_w, (12,)), flat(hi_joint, (36,))], axis=-1
+        [flat(hif, (12,)), flat(hi_w, (12,))] + box_hi
+        + [flat(hi_joint, (36,))],
+        axis=-1,
     )
     return J, b, lo, hi
 
 
-def _pgs(p: ImpulseParams, v, lam0, J, MinvJT, d, b, lo, hi):
+def _pgs(p: ImpulseParams, v, lam0, J, MinvJT, d, b, lo, hi,
+         mu_idx=_MU_IDX):
     """Projected Gauss-Seidel, rows unrolled (static order = oracle order).
 
     v: (..., 18) free velocity AFTER warm-start impulses were applied.
     Returns (v, lam).
     """
     mu = jnp.asarray(p.mu, v.dtype)
+    n_rows = J.shape[-2]
 
     def sweep(carry, _):
         v, lam = carry
-        for i in range(N_ROWS):
+        for i in range(n_rows):
             dv = b[..., i] - jnp.einsum("...k,...k->...", J[..., i, :], v)
             dl = dv / jnp.maximum(d[..., i], 1e-12)
-            if _MU_IDX[i] >= 0:
-                bound = mu * jnp.maximum(lam[..., _MU_IDX[i]], 0.0)
+            if mu_idx[i] >= 0:
+                bound = mu * jnp.maximum(lam[..., mu_idx[i]], 0.0)
                 lo_i, hi_i = -bound, bound
             else:
                 lo_i, hi_i = lo[..., i], hi[..., i]
@@ -218,9 +353,12 @@ def _pgs(p: ImpulseParams, v, lam0, J, MinvJT, d, b, lo, hi):
     return v, lam
 
 
-def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
-    """One 500 Hz hard-contact substep. lam: (..., 60) warm-start impulses
-    from the previous substep. Returns (state, lam)."""
+def substep(model, p: ImpulseParams, state: RobotState, lam, target_q,
+            scene=None):
+    """One 500 Hz hard-contact substep. lam: (..., N_ROWS[_BOX]) warm-start
+    impulses from the previous substep. scene: optional scene.boxes.BoxScene
+    — adds the deepest-box contact rows (hurdle/hole-bar/cube faces,
+    corridor walls) to the PGS system. Returns (state, lam)."""
     dtype = state.base_pos.dtype
     dt = p.dt
     kin = dynamics.forward_kinematics(model, state)
@@ -258,20 +396,22 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
         axis=-1,
     )
 
-    J, b, lo, hi = _build_rows(model, p, state, kin)
-    MinvJT = dynamics.minv_apply_rows(fac, J)  # (..., 60, 18)
+    mu_idx = _MU_IDX if scene is None else _MU_IDX_BOX
+    J, b, lo, hi = _build_rows(model, p, state, kin, scene=scene)
+    MinvJT = dynamics.minv_apply_rows(fac, J)  # (..., n_rows, 18)
     d = jnp.einsum("...ni,...ni->...n", J, MinvJT)
 
     # warm start: rows inactive now contribute nothing and re-clamp to 0
     # (hi==lo==0 for them), mirroring the oracle's per-substep key rebuild.
-    lam0 = jnp.where((hi > 0.0) | (lo < 0.0) | (_MU_IDX >= 0), lam, 0.0)
+    lam0 = jnp.where((hi > 0.0) | (lo < 0.0) | (mu_idx >= 0), lam, 0.0)
     # tangent warm impulses only when their sphere is active this substep
-    normal_hi = hi[..., np.maximum(_MU_IDX, 0)]
-    lam0 = jnp.where((_MU_IDX >= 0) & (normal_hi <= 0.0), 0.0, lam0)
+    normal_hi = hi[..., np.maximum(mu_idx, 0)]
+    lam0 = jnp.where((mu_idx >= 0) & (normal_hi <= 0.0), 0.0, lam0)
     v = v_free + jnp.einsum("...nk,...n->...k", MinvJT, lam0)
 
     pallas_ok = (
         p.use_pallas_pgs
+        and scene is None
         and v.ndim == 2
         and v.shape[0] % 128 == 0
         and jnp.ndim(p.mu) == 0
@@ -283,7 +423,7 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
             v, lam0, J, MinvJT, d, b, lo, hi, p.mu, iterations=p.iterations,
         )
     else:
-        v, lam = _pgs(p, v, lam0, J, MinvJT, d, b, lo, hi)
+        v, lam = _pgs(p, v, lam0, J, MinvJT, d, b, lo, hi, mu_idx=mu_idx)
 
     w_new = v[..., 0:3]
     lin_new = v[..., 3:6]
@@ -301,23 +441,25 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q):
     )
 
 
-def control_step(model, p: ImpulseParams, state: RobotState, lam, target_q):
+def control_step(model, p: ImpulseParams, state: RobotState, lam, target_q,
+                 scene=None):
     """One 50 Hz control step: `substeps` hard-contact substeps with a held
     target (reference primitive_level_env.py:202-210). Returns (state, lam)."""
 
     def body(carry, _):
         s, l = carry
-        s, l = substep(model, p, s, l, target_q)
+        s, l = substep(model, p, s, l, target_q, scene=scene)
         return (s, l), None
 
     (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=p.substeps)
     return state, lam
 
 
-def make_control_step(model, p: ImpulseParams):
+def make_control_step(model, p: ImpulseParams, scene=None):
     """Jittable f((state, lam), target_q) -> (state, lam) closure."""
 
     def step(carry, target_q):
-        return control_step(model, p, carry[0], carry[1], target_q)
+        return control_step(model, p, carry[0], carry[1], target_q,
+                            scene=scene)
 
     return step

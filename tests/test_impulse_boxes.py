@@ -1,0 +1,180 @@
+"""Box-scene hard contact: JAX impulse PGS vs the independent oracle.
+
+Extends the flat-ground fidelity story (tests/test_impulse_contact.py) to
+the EPMC/SEPMC box worlds: hurdle/hole-bar/cube faces and corridor walls
+are hard contact in the reference (the same Bullet solver resolves every
+body, legged_robot.py:260-264 + bullet_static_entities.py geometry).
+physics/impulse.py builds one deepest-box contact row-triple per sphere
+(feet, wheels, trunk proxy) in lockstep with tools/bullet_oracle.py.
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lifelike_tpu.physics import impulse
+from lifelike_tpu.physics.dynamics import RobotState
+from lifelike_tpu.robot.model import build_max_model
+from lifelike_tpu.scene.boxes import BoxScene
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from bullet_oracle import BulletOracle, OracleState  # noqa: E402
+
+MODEL = build_max_model()
+PARAMS = impulse.ImpulseParams()
+STAND = np.array([
+    -0.0278, -0.7790, 1.6873, -0.0276, -0.7777, 1.6838,
+    -0.0278, -0.7334, 1.5669, -0.0276, -0.7319, 1.5632,
+])
+
+
+def _scene_arrays():
+    """A platform under the front feet + a hurdle ahead + a low bar.
+
+    The platform guarantees active foot-box contact from step 0; the hurdle
+    face catches the fore spheres as the robot settles forward; the bar
+    tests a non-z contact normal on the trunk when the body pitches.
+    """
+    centers = np.array([
+        [0.20, 0.0, 0.05],   # platform under the front feet (top 0.10)
+        [0.45, 0.0, 0.075],  # hurdle (top 0.15)
+        [0.10, 0.35, 0.40],  # side block (lateral normal if reached)
+    ])
+    halves = np.array([
+        [0.12, 0.5, 0.05],
+        [0.05, 0.5, 0.075],
+        [0.10, 0.10, 0.10],
+    ])
+    return centers, halves
+
+
+def _jax_scene(dtype=jnp.float64):
+    c, h = _scene_arrays()
+    return BoxScene(
+        center=jnp.asarray(c, dtype),
+        half=jnp.asarray(h, dtype),
+        active=jnp.ones((c.shape[0],), bool),
+        target_pos=jnp.zeros(3, dtype),
+    )
+
+
+def _init():
+    return dict(
+        base_pos=np.array([0.0, 0.0, 0.42]),
+        base_orn=np.array([0.0, 0.0, 0.0, 1.0]),
+        base_lin_vel=np.array([0.5, 0.0, 0.0]),
+        base_ang_vel=np.zeros(3),
+        joint_pos=STAND.copy(),
+        joint_vel=np.zeros(12),
+    )
+
+
+def test_box_oracle_parity():
+    """Side-by-side 15 control steps through platform/hurdle contact: the
+    JAX box-row system matches the independent oracle to solver precision."""
+    init = _init()
+    scene = _jax_scene()
+    s = RobotState(**{k: jnp.asarray(v, jnp.float64) for k, v in init.items()})
+    lam = impulse.init_lam((), jnp.float64, scene=scene)
+    step = jax.jit(impulse.make_control_step(MODEL, PARAMS, scene=scene))
+    orc = BulletOracle(MODEL, scene=_scene_arrays())
+    so = OracleState(**{k: v.copy() for k, v in init.items()})
+    tgt = STAND
+    for t in range(15):
+        s, lam = step((s, lam), jnp.asarray(tgt))
+        so = orc.control_step(so, tgt)
+    err_q = float(np.max(np.abs(np.asarray(s.joint_pos) - so.joint_pos)))
+    err_p = float(np.max(np.abs(np.asarray(s.base_pos) - so.base_pos)))
+    assert err_q < 1e-6, err_q
+    assert err_p < 1e-6, err_p
+    # the platform must actually hold the front feet above ground level
+    assert so.base_pos[2] > 0.25
+
+
+def test_box_contact_changes_motion():
+    """The scene must alter the hard-contact trajectory (rows are live)."""
+    init = _init()
+    scene = _jax_scene()
+    s0 = RobotState(**{k: jnp.asarray(v, jnp.float64)
+                       for k, v in init.items()})
+    step_box = jax.jit(impulse.make_control_step(MODEL, PARAMS, scene=scene))
+    step_flat = jax.jit(impulse.make_control_step(MODEL, PARAMS))
+    sb, lb = s0, impulse.init_lam((), jnp.float64, scene=scene)
+    sf, lf = s0, impulse.init_lam((), jnp.float64)
+    for t in range(10):
+        sb, lb = step_box((sb, lb), jnp.asarray(STAND))
+        sf, lf = step_flat((sf, lf), jnp.asarray(STAND))
+    assert float(jnp.max(jnp.abs(sb.base_pos - sf.base_pos))) > 1e-3
+
+
+def _hurdle_trace_errors(dtype):
+    import json
+
+    trace_dir = os.path.join(os.path.dirname(__file__), "..", "lifelike_tpu",
+                             "data", "oracle_traces")
+    z = np.load(os.path.join(trace_dir, "hurdle.npz"))
+    json.loads(str(z["meta"]))
+    fields = ("base_pos", "base_orn", "base_lin_vel", "base_ang_vel",
+              "joint_pos", "joint_vel")
+    scene = BoxScene(
+        center=jnp.asarray(z["scene_centers"], dtype),
+        half=jnp.asarray(z["scene_halves"], dtype),
+        active=jnp.ones((z["scene_centers"].shape[0],), bool),
+        target_pos=jnp.zeros(3, dtype),
+    )
+    s = RobotState(*[jnp.asarray(z[f"init_{f}"], dtype) for f in fields])
+    lam = impulse.init_lam((), dtype, scene=scene)
+    step = jax.jit(impulse.make_control_step(MODEL, PARAMS, scene=scene))
+    errs = []
+    for t in range(z["targets"].shape[0]):
+        s, lam = step((s, lam), jnp.asarray(z["targets"][t], dtype))
+        errs.append(float(np.max(np.abs(
+            np.asarray(s.joint_pos, np.float64) - z["joint_pos"][t]
+        ))))
+    return np.asarray(errs)
+
+
+def test_hurdle_trace_criterion_f64():
+    """North-star criterion THROUGH a hurdle-contact transition (H=50 golden
+    trace, 567 active box impulses): float64 divergence stays ~1e-6."""
+    errs = _hurdle_trace_errors(jnp.float64)
+    # divergence-vs-horizon table for the record
+    print("hurdle divergence @ [1,10,25,50]:", errs[[0, 9, 24, 49]])
+    assert errs.max() < 1e-5, errs[[0, 9, 24, 49]]
+
+
+def test_hurdle_trace_divergence_f32():
+    """Same trace in float32 (TPU dtype): box-contact transitions amplify
+    rounding; pin the measured ceiling rather than the f64 criterion."""
+    errs = _hurdle_trace_errors(jnp.float32)
+    assert errs[0] < 1e-5, errs[0]
+    assert errs.max() < 0.2, errs[[0, 9, 24, 49]]
+
+
+def test_trunk_bar_contact():
+    """A bar at trunk height stops the trunk: the box rows include the six
+    trunk proxy spheres (crawl-under fidelity needs them)."""
+    centers = np.array([[0.25, 0.0, 0.42]])
+    halves = np.array([[0.05, 0.5, 0.12]])
+    scene = BoxScene(
+        center=jnp.asarray(centers, jnp.float64),
+        half=jnp.asarray(halves, jnp.float64),
+        active=jnp.ones((1,), bool),
+        target_pos=jnp.zeros(3, jnp.float64),
+    )
+    init = _init()
+    init["base_lin_vel"] = np.array([1.2, 0.0, 0.0])
+    s = RobotState(**{k: jnp.asarray(v, jnp.float64) for k, v in init.items()})
+    lam = impulse.init_lam((), jnp.float64, scene=scene)
+    step = jax.jit(impulse.make_control_step(MODEL, PARAMS, scene=scene))
+    orc = BulletOracle(MODEL, scene=(centers, halves))
+    so = OracleState(**{k: v.copy() for k, v in init.items()})
+    for t in range(15):
+        s, lam = step((s, lam), jnp.asarray(STAND))
+        so = orc.control_step(so, STAND)
+    # parity holds through the bar strike
+    assert float(np.max(np.abs(np.asarray(s.joint_pos) - so.joint_pos))) < 1e-6
+    # and the bar stopped the forward drive (nose would be ~0.3+ m otherwise)
+    assert so.base_pos[0] < 0.25

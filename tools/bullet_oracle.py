@@ -117,13 +117,46 @@ class BulletOracle:
 
     def __init__(self, model, kp=50.0, kd=0.5, max_tau=18.0, mu=0.5,
                  dt=1.0 / 500.0, substeps=10, iterations=10, erp=0.2,
-                 slop=0.0, warm_start=True):
+                 slop=0.0, warm_start=True, scene=None):
         self.m = model
         self.kp, self.kd, self.max_tau, self.mu = kp, kd, max_tau, mu
         self.dt, self.substeps = dt, substeps
         self.iterations, self.erp, self.slop = iterations, erp, slop
         self.warm_start = warm_start
         self._warm = {}
+        # optional box scene: (centers (K, 3), half-extents (K, 3)) of ACTIVE
+        # axis-aligned boxes (hurdles / hole bars / cubes / walls)
+        if scene is not None:
+            self.boxes = (np.asarray(scene[0], float),
+                          np.asarray(scene[1], float))
+        else:
+            self.boxes = None
+
+    @staticmethod
+    def _box_sdf(p, center, half):
+        """Signed distance + outward unit normal of a point vs one AABB
+        (same face convention as the JAX impulse module)."""
+        r = p - center
+        q = np.abs(r) - half
+        outside = np.maximum(q, 0.0)
+        d_out = np.sqrt(np.sum(outside * outside) + 1e-12)
+        d_in = np.max(q)
+        sign = np.where(r >= 0.0, 1.0, -1.0)
+        if d_in < 0.0:
+            face = (q >= d_in).astype(float)
+            n = sign * face / max(face.sum(), 1.0)
+            return d_in, n
+        return d_out, sign * outside / d_out
+
+    @staticmethod
+    def _tangent_basis(n):
+        """Deterministic tangents: t1 = n x z unless near-parallel, then
+        n x x (same branch/threshold as physics.impulse._tangent_basis)."""
+        t1 = np.cross(n, np.array([0.0, 0.0, 1.0]))
+        if float(t1 @ t1) < 1e-6:
+            t1 = np.cross(n, np.array([1.0, 0.0, 0.0]))
+        t1 = t1 / max(np.linalg.norm(t1), 1e-12)
+        return t1, np.cross(n, t1)
 
     # ------------------------------------------------------------ kinematics
 
@@ -321,6 +354,53 @@ class BulletOracle:
                 rows.append({"J": Jp[tdir], "b": 0.0, "lo": 0.0, "hi": 0.0,
                              "mu_link": n_idx})
                 key_ids.append((tag, l, t))
+        if self.boxes is not None:
+            # deepest-box contact per sphere (Bullet's sphere-box manifold is
+            # a single point): feet 0-3, wheels 0-3, then the trunk proxy
+            # spheres (3x2 grid, r=0.07 — the engine's trunk collision spec)
+            # — SAME row order as physics.impulse._box_rows.
+            Rb = kin.R_base
+            trunk_offs = np.array(
+                [[-0.12, -0.05, 0.0], [-0.12, 0.05, 0.0],
+                 [0.0, -0.05, 0.0], [0.0, 0.05, 0.0],
+                 [0.12, -0.05, 0.0], [0.12, 0.05, 0.0]]
+            )
+            box_spheres = (
+                [("bf", l, ("leg", l, 2), kin.p_foot[l], m.foot_radius)
+                 for l in range(4)]
+                + [("bw", l, ("leg", l, 1), kin.p_wheel[l], m.wheel_radius)
+                   for l in range(4)]
+                + [("bt", i, ("base",), s.base_pos + Rb @ trunk_offs[i], 0.07)
+                   for i in range(6)]
+            )
+            centers, halves = self.boxes
+            for tag, idx, attach, pt, radius in box_spheres:
+                best = None
+                for k in range(len(centers)):
+                    dist, n = self._box_sdf(pt, centers[k], halves[k])
+                    pen = radius - dist
+                    if best is None or pen > best[0]:
+                        best = (pen, n)
+                pen, n = best
+                if pen <= 0.0:
+                    continue
+                if attach[0] == "leg":
+                    Jp = self._point_jacobian(s, kin, pt, attach[1], attach[2])
+                else:
+                    Jp = np.zeros((3, NV))
+                    Jp[:, 3:6] = np.eye(3)
+                    Jp[:, 0:3] = -_skew(pt - s.base_pos)
+                t1, t2 = self._tangent_basis(n)
+                b_n = self.erp * max(pen - self.slop, 0.0) / self.dt
+                rows.append({"J": n @ Jp, "b": b_n, "lo": 0.0, "hi": np.inf,
+                             "mu_link": -1})
+                key_ids.append((tag, idx, "n"))
+                n_idx = len(rows) - 1
+                for tname, tvec in (("t1", t1), ("t2", t2)):
+                    rows.append({"J": tvec @ Jp, "b": 0.0, "lo": 0.0,
+                                 "hi": 0.0, "mu_link": n_idx})
+                    key_ids.append((tag, idx, tname))
+
         fric = m.joint_friction.reshape(-1)
         lower = m.joint_lower.reshape(-1)
         upper = m.joint_upper.reshape(-1)

@@ -140,9 +140,9 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     from lifelike_tpu.costs.traversal import TraversalWeights
 
     if element_id == 2:
-        crouch_w = TraversalWeights(height_min=0.08, pose=0.0,
-                                    crawl_gap=0.18, ceiling=0.155)
-        priors = [(0, None), (2, crouch_w, 0.5)]
+        crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
+                                    crawl_gap=0.18, ceiling=0.13)
+        priors = [(0, None), (2, crouch_w, 0.4)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)
         priors = [(0, None), (3, climb_w, 0.6)]

@@ -42,8 +42,9 @@ def _try_pybullet():
         return False
 
 
-def run_pybullet(init, targets):
-    """Step the reference LeggedRobot config under real PyBullet."""
+def run_pybullet(init, targets, scene=None):
+    """Step the reference LeggedRobot config under real PyBullet.
+    scene: optional (centers (K, 3), halves (K, 3)) static boxes."""
     import pybullet
     import pybullet_data
     from pybullet_utils import bullet_client
@@ -53,6 +54,10 @@ def run_pybullet(init, targets):
     bc = bullet_client.BulletClient(connection_mode=pybullet.DIRECT)
     bc.setAdditionalSearchPath(pybullet_data.getDataPath())
     bc.loadURDF("plane.urdf")
+    if scene is not None:
+        for c, h in zip(*scene):
+            col = bc.createCollisionShape(pybullet.GEOM_BOX, halfExtents=list(h))
+            bc.createMultiBody(baseCollisionShapeIndex=col, basePosition=list(c))
     rid = bc.loadURDF(urdf, init["base_pos"], init["base_orn"],
                       flags=pybullet.URDF_USE_SELF_COLLISION)
     # actuated joints by name (reference constants.py joint groups)
@@ -99,11 +104,11 @@ def run_pybullet(init, targets):
     return {k: np.asarray(v) for k, v in out.items()}, "pybullet"
 
 
-def run_fallback(init, targets):
+def run_fallback(init, targets, scene=None):
     from lifelike_tpu.robot.model import build_max_model
     from tools.bullet_oracle import BulletOracle, OracleState
 
-    orc = BulletOracle(build_max_model())
+    orc = BulletOracle(build_max_model(), scene=scene)
     s = OracleState(**{k: np.asarray(v, float).copy() for k, v in init.items()})
     out = {f: [] for f in FIELDS}
     for t in range(targets.shape[0]):
@@ -115,6 +120,8 @@ def run_fallback(init, targets):
 
 def scenarios(H):
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon
     import jax.numpy as jnp
 
     from lifelike_tpu.motion import motion_lib
@@ -137,9 +144,18 @@ def scenarios(H):
         base_lin_vel=np.zeros(3), base_ang_vel=np.zeros(3),
         joint_pos=STAND.copy(), joint_vel=np.zeros(12),
     )
-    yield "stand", stand_init, np.tile(STAND, (H, 1))
-    yield ("walk",) + clip_scenario(0.5)
-    yield ("run",) + clip_scenario(6.0)
+    yield "stand", stand_init, np.tile(STAND, (H, 1)), None
+    yield ("walk",) + clip_scenario(0.5) + (None,)
+    yield ("run",) + clip_scenario(6.0) + (None,)
+    # hurdle-contact transition: the robot walks on a low platform with a
+    # 12 cm hurdle at its front edge (reference _generate_one_hurdle
+    # geometry family, bullet_static_entities.py:310-364) — the open-loop
+    # walk drifts across the platform edge and into the hurdle face, so the
+    # trace exercises +z box normals, lateral face normals AND the
+    # transition off the box (567 active box impulses over H=50, measured)
+    hurdle = (np.array([[0.0, 0.0, 0.025], [0.28, 0.0, 0.06]]),
+              np.array([[0.6, 1.0, 0.025], [0.04, 1.0, 0.06]]))
+    yield ("hurdle",) + clip_scenario(0.5) + (hurdle,)
 
 
 def main():
@@ -149,9 +165,13 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     use_pb = _try_pybullet()
-    for name, init, targets in scenarios(args.horizon):
-        runner = run_pybullet if use_pb else run_fallback
-        traj, backend = runner(init, targets)
+    for name, init, targets, scene in scenarios(args.horizon):
+        if use_pb and scene is None:
+            traj, backend = run_pybullet(init, targets)
+        elif use_pb and scene is not None:
+            traj, backend = run_pybullet(init, targets, scene=scene)
+        else:
+            traj, backend = run_fallback(init, targets, scene=scene)
         path = os.path.join(args.out, f"{name}.npz")
         np.savez_compressed(
             path,
@@ -162,6 +182,8 @@ def main():
                 substeps=10, clip=CLIP,
             )),
             **{f"init_{k}": v for k, v in init.items()},
+            **({"scene_centers": scene[0], "scene_halves": scene[1]}
+               if scene is not None else {}),
             **traj,
         )
         print(f"{path}: backend={backend} H={args.horizon}")
