@@ -184,6 +184,12 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
         (float(p[2]) if len(p) > 2 and p[2] is not None else 1.0)
         for p in priors
     ]
+    # optional 4th element: per-prior gait weight (a crouch prior wants a
+    # weaker pull toward the clip so the progress terms can win near bars)
+    gait_weights = [
+        (float(p[3]) if len(p) > 3 and p[3] is not None else gait_weight)
+        for p in priors
+    ]
     if fused:
         assert cfg.population % 128 == 0, cfg.population
         from lifelike_tpu.ops import scalar_phys, traversal_pallas
@@ -213,19 +219,21 @@ def make_multigait_traversal_controller(model, c, params, cfg: MPPIConfig,
 
             if fused:
                 def rollout_fn(state_k, u_cand, ref=ref,
-                               w=prior_weights[pi], ss=spd_scales[pi]):
+                               w=prior_weights[pi], ss=spd_scales[pi],
+                               gw=gait_weights[pi]):
                     return traversal_pallas.rollout_traversal_fused(
                         sm, params, state_k, u_cand, btab, ref, target_pos,
                         target_spd * ss, reward_type, max_steps, weights=w,
-                        gait_weight=gait_weight,
+                        gait_weight=gw,
                     )
             else:
                 def rollout_fn(state_k, u_cand, ref=ref,
-                               w=prior_weights[pi], ss=spd_scales[pi]):
+                               w=prior_weights[pi], ss=spd_scales[pi],
+                               gw=gait_weights[pi]):
                     cost, _ = rollout_tasks.rollout_traversal_gait(
                         c, params, state_k, u_cand, ts, ref, target_pos,
                         target_spd * ss, reward_type, max_steps, weights=w,
-                        gait_weight=gait_weight,
+                        gait_weight=gw,
                     )
                     return cost
 

@@ -72,7 +72,7 @@ def main():
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
                                     crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4)]
+        priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)
         priors = [(0, None), (3, climb_w, 0.6)]

@@ -142,7 +142,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
                                     crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4)]
+        priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
     elif element_id == 3:
         climb_w = TraversalWeights(pose=0.0)
         priors = [(0, None), (3, climb_w, 0.6)]
@@ -261,8 +261,99 @@ def eval_chase(seeds, cap, population, horizon, standing_escapee):
     return results
 
 
+def eval_chase_game(seeds, cap, population, horizon):
+    """FULL Chase-Tag games, both robots solver-driven: flag grabs swap
+    roles (flag teleports), +-1 on the switch frame, terminal +-1 on catch
+    — the reference game accounting (chase_tag_game_env.py:573-581,
+    :640-652,:406-419). Records per-episode switches/catch/rewards and the
+    reference's episode info (avg_spd0/1, max_spd0/1)."""
+    from lifelike_tpu.envs import chase_tag
+    from lifelike_tpu.motion import motion_lib
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.solver import mpc_tasks
+    from lifelike_tpu.solver.mppi import MPPIConfig
+
+    model = build_max_model()
+    cfg = chase_tag.ChaseTagConfig()
+    c = B.tl_constants(model)
+    clips = motion_lib.load_clips(WALK_CLIP)
+    mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
+                      sigma=0.12)
+    solver = mpc_tasks.make_gait_chase_solver(model, c, cfg.params, mcfg,
+                                              clips, n_best_response=1)
+    step = jax.jit(lambda st, a, k: chase_tag.step(model, cfg, st, a, k))
+
+    results = []
+    for seed in range(seeds):
+        key = jax.random.PRNGKey(3000 + seed)
+        key, kr = jax.random.split(key)
+        s, obs = chase_tag.reset(model, cfg, kr)
+        u = jnp.zeros((2, mcfg.horizon, 4, 3))
+        t_clip = CLIP_LOOP[0]
+        switches, r_sum = 0, np.zeros(2)
+        outcome, t, info = "timeout", 0, {}
+        for t in range(cap):
+            key, k, ke = jax.random.split(key, 3)
+            wf_before = np.asarray(s.with_flag)
+            tgt, u, _ = solver(k, s.robots, s.scene, s.flag_pos,
+                               s.with_flag, jnp.asarray(t_clip, jnp.float32),
+                               u)
+            t_clip = _advance_clip(t_clip)
+            s, obs, r, done, info = step(s, tgt - s.robots.joint_pos, ke)
+            r_sum += np.asarray(r)
+            if (np.asarray(s.with_flag) != wf_before).any():
+                switches += 1
+            if bool(done):
+                outcome = "caught" if bool(info["caught"]) else (
+                    "fall" if t + 1 < cap else "timeout")
+                break
+        results.append(dict(
+            seed=seed, outcome=outcome, steps=t + 1, switches=switches,
+            r0=float(r_sum[0]), r1=float(r_sum[1]),
+            avg_spd0=float(info.get("avg_spd0", 0.0)),
+            avg_spd1=float(info.get("avg_spd1", 0.0)),
+        ))
+        print(f"  game seed {seed}: {outcome} in {t+1} steps, "
+              f"{switches} flag switches, rewards "
+              f"({r_sum[0]:+.0f}, {r_sum[1]:+.0f}), "
+              f"avg_spd ({results[-1]['avg_spd0']:.2f}, "
+              f"{results[-1]['avg_spd1']:.2f})", flush=True)
+    return results
+
+
+# Reference eval env configs (test_environmental_level_env.py:16-49 and
+# test_strategic_level_env.py:13-42). Round-3 lesson: evaluating the
+# imported recurrent checkpoints WITHOUT these (default joystick env,
+# teleporting targets) made competent models look broken — with them the
+# hurdle model reaches course targets and the strategic model catches.
+EVAL_ENV_CONFIG = {
+    "pmc": "",
+    "epmc": (
+        "{'kp': 50.0, 'kd': 0.5, 'max_tau': 16, 'max_steps': 1000, "
+        "'env_randomize_config': {'element_id': 1, "
+        "'friction_range': [0.4, 1.0], "
+        "'disturb_force_config': {'start_time': 0.5, 'interval_time': 1.0, "
+        "'duration_time': 0.2, 'horizontal_force': [0, 50], "
+        "'vertical_force': [0, 10]}, "
+        "'cmd_vary_freq_range': [9999, 10000], "
+        "'target_spd_range': [3.0, 3.0]}}"
+    ),
+    "sepmc": (
+        "{'kp': 50.0, 'kd': 0.5, 'max_tau': 16, 'max_steps': 1000, "
+        "'env_randomize_config': {'friction_range': [0.4, 1.0], "
+        "'disturb_force_config': {'start_time': 0.5, 'interval_time': 1.0, "
+        "'duration_time': 0.2, 'horizontal_force': [0, 50], "
+        "'vertical_force': [0, 10]}, 'control_spd': 1.0}, "
+        "'element_config': {'rand_cube': False, 'hurdle': False, "
+        "'hole': False}}"
+    ),
+}
+
+
 def eval_checkpoints(episodes, max_steps):
-    """Per-episode rewards of the three imported reference checkpoints."""
+    """Per-episode rewards of the three imported reference checkpoints,
+    under the REFERENCE eval env configs (EVAL_ENV_CONFIG)."""
     rows = {}
     for task, path in MODELS.items():
         # --cpu: the axon TPU tunnel is single-tenant and the parent holds
@@ -270,19 +361,27 @@ def eval_checkpoints(episodes, max_steps):
         cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
                f"--task={task}", f"--model_path={path}", "--cpu",
                f"--episodes={episodes}", f"--max_steps={max_steps}"]
+        if EVAL_ENV_CONFIG[task]:
+            cmd.append(f"--env_config={EVAL_ENV_CONFIG[task]}")
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=3600, cwd=REPO)
         eps = []
         for ln in out.stderr.splitlines():
+            flags = "".join(
+                f" {name}" for name, pat in
+                (("REACHED", r"'reached': 1\.0"), ("caught", r"'caught': 1\.0"),
+                 ("fall", r"'fall': 1\.0"))
+                if re.search(pat, ln)
+            )
             m = re.search(r"episode \d+: reward(?:_sum)? ([-\d.]+) len (\d+)",
                           ln)
             if m:
-                eps.append((float(m.group(1)), int(m.group(2))))
+                eps.append((float(m.group(1)), int(m.group(2)), flags))
             m2 = re.search(r"episode \d+: rewards \[([-\d., ]+)\] len (\d+)",
                            ln)
             if m2:
                 vals = [float(v) for v in m2.group(1).split(",")]
-                eps.append((vals[0], int(m2.group(2))))
+                eps.append((vals[0], int(m2.group(2)), flags))
         rows[task] = dict(episodes=eps, rc=out.returncode)
         print(f"  checkpoint {task}: {eps} (rc={out.returncode})", flush=True)
     return rows
@@ -356,6 +455,28 @@ def main():
             + f"{np.mean([r['steps'] for r in res]):.0f} |"
         )
 
+    if args.only != "traversal":
+        lines += [
+            "",
+            "### Full games: flag possession, role swaps, +-1 accounting",
+            "",
+            "Both robots solver-driven; flag grabs swap roles (flag "
+            "teleports), +-1 on the switch frame per robot, terminal +-1 on "
+            "the catch (chase_tag_game_env.py:573-581,:640-652,:406-419).",
+            "",
+            "| seed | outcome | steps | flag switches | rewards (r0, r1) | "
+            "avg_spd0/1 |",
+            "|---|---|---|---|---|---|",
+        ]
+        print("full chase games:", flush=True)
+        for r in eval_chase_game(args.seeds, args.cap, args.population,
+                                 args.horizon):
+            lines.append(
+                f"| {r['seed']} | {r['outcome']} | {r['steps']} | "
+                f"{r['switches']} | ({r['r0']:+.0f}, {r['r1']:+.0f}) | "
+                f"{r['avg_spd0']:.2f} / {r['avg_spd1']:.2f} |"
+            )
+
     if not args.skip_checkpoints:
         lines += [
             "",
@@ -372,7 +493,7 @@ def main():
         print("checkpoint evals:", flush=True)
         rows = eval_checkpoints(args.episodes, args.cap)
         for task, row in rows.items():
-            eps = ", ".join(f"({r:.2f}, {l})" for r, l in row["episodes"])
+            eps = ", ".join(f"({r:.2f}, {l}{fl})" for r, l, fl in row["episodes"])
             lines.append(f"| {os.path.basename(MODELS[task])} | {eps or 'rc=' + str(row['rc'])} |")
 
     lines += ["", f"Total eval wall time: {time.time() - t0:.0f} s.", ""]
