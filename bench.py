@@ -374,9 +374,14 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused=False):
                 cost = 0.0
                 u = [ua, ub]
                 for r in (0, 1):
-                    opp = rollout_tasks.rollout_plan(
-                        c, params, states[1 - r], u[1 - r], ts
-                    )
+                    if fused:
+                        opp = traversal_pallas.rollout_plan_fused(
+                            sm, params, states[1 - r], u[1 - r], btab, ref0
+                        )
+                    else:
+                        opp = rollout_tasks.rollout_plan(
+                            c, params, states[1 - r], u[1 - r], ts
+                        )
 
                     if fused:
                         def rollout_fn(state_k, u_cand, opp=opp, r=r):

@@ -211,6 +211,115 @@ def pack_opp(ref_packed, opp_traj):
     return ref_packed.at[:, _OFF_OPP:_OFF_OPP + 2].set(opp)
 
 
+def _plan_kernel(
+    ref_ref,  # (H, 64) packed reference (target_joint drives the plan)
+    boxes_ref,  # (K, 8)
+    bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,
+    ctrl_ref,  # (H, 4, 3, bs_tile, LANES)
+    traj_ref,  # out: (H, 4, bs_tile, LANES) base position (xyz + pad)
+    *,
+    sm: SP.ScalarModel,
+    params,
+    horizon: int,
+):
+    state = SP.State(
+        pb=tuple(bp_ref[i] for i in range(3)),
+        q=tuple(bo_ref[i] for i in range(4)),
+        vb=tuple(blv_ref[i] for i in range(3)),
+        wb=tuple(bav_ref[i] for i in range(3)),
+        jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
+        jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
+    )
+    btab = boxes_ref[:]
+    bx = tuple(btab[:, j][:, None, None] for j in range(7))
+
+    def step(t, s):
+        rd = lambda col: ref_ref[t, col]
+        target = tuple(
+            tuple(
+                rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
+                for j in range(3)
+            )
+            for l in range(4)
+        )
+        s = SP.control_step(sm, params, s, target, boxes=bx)
+        for cmp in range(3):
+            traj_ref[t, cmp] = s.pb[cmp]
+        traj_ref[t, 3] = jnp.zeros_like(s.pb[0])
+        return s
+
+    jax.lax.fori_loop(0, horizon, step, state)
+
+
+def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
+                       interpret: bool = None):
+    """Fused rollout_tasks.rollout_plan[_gait]: ONE plan's base trajectory.
+
+    The XLA plan rollout at batch (1, 1) is 500 sequential tiny substeps —
+    measured 95 ms on the chip, dominating the SEPMC best-response round.
+    Here the single plan rides one (BS_TILE, 128) kernel tile (lanes are
+    redundant copies; latency is what matters). state: TLState batch
+    (1, 1); u_plan: (H, 4, 3) deltas on ref.target_joint. Returns
+    (H, 3, 1, 1) like rollout_plan.
+    """
+    sm = model if isinstance(model, SP.ScalarModel) else SP.build_scalar_model(model)
+    H = u_plan.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+        boxes = pack_boxes(boxes)
+    K = boxes.shape[0]
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, x.shape[:-2] + (BS_TILE, LANES)), state
+    )
+    ctrl = jnp.broadcast_to(
+        u_plan[..., None, None], (H, 4, 3, BS_TILE, LANES)
+    ).astype(state.base_pos.dtype)
+    ref_packed = pack_reference(ref)
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (BS_TILE, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(_plan_kernel, sm=sm, params=params, horizon=H)
+    traj = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec((3,)),
+            spec((4,)),
+            spec((3,)),
+            spec((3,)),
+            spec((4, 3)),
+            spec((4, 3)),
+            spec((H, 4, 3)),
+        ],
+        out_specs=spec((H, 4)),
+        out_shape=jax.ShapeDtypeStruct((H, 4, BS_TILE, LANES),
+                                       state.base_pos.dtype),
+        interpret=interpret,
+    )(
+        ref_packed,
+        boxes,
+        state.base_pos,
+        state.base_orn,
+        state.base_lin_vel,
+        state.base_ang_vel,
+        state.joint_pos,
+        state.joint_vel,
+        ctrl,
+    )
+    return traj[:, :3, :1, :1]
+
+
 def _chase_kernel(
     ref_ref,  # (H, 64) packed gait reference + opponent plan columns
     task_ref,  # (1, 8) [flag_x, flag_y, chaser_mask, ...]

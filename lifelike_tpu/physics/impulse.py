@@ -353,12 +353,33 @@ def _pgs(p: ImpulseParams, v, lam0, J, MinvJT, d, b, lo, hi,
     return v, lam
 
 
+def init_comp(batch_shape=(), dtype=jnp.float32):
+    """Zero Kahan compensation carry for the compensated integrator:
+    (base_pos comp (..., 3), joint_pos comp (..., 12))."""
+    return (jnp.zeros(batch_shape + (3,), dtype),
+            jnp.zeros(batch_shape + (12,), dtype))
+
+
+def _kahan_add(x, inc, comp):
+    """Compensated x + inc with carry `comp` (Kahan-Neumaier step)."""
+    y = inc - comp
+    t = x + y
+    comp_new = (t - x) - y
+    return t, comp_new
+
+
 def substep(model, p: ImpulseParams, state: RobotState, lam, target_q,
-            scene=None):
+            scene=None, comp=None):
     """One 500 Hz hard-contact substep. lam: (..., N_ROWS[_BOX]) warm-start
     impulses from the previous substep. scene: optional scene.boxes.BoxScene
     — adds the deepest-box contact rows (hurdle/hole-bar/cube faces,
-    corridor walls) to the PGS system. Returns (state, lam)."""
+    corridor walls) to the PGS system.
+
+    comp: optional init_comp carry — Kahan-compensated position integration
+    (the f32 north-star criterion: 500 substeps of pos += v*dt accumulate
+    the rounding that marginal contact then amplifies; compensation removes
+    the accumulation term at f32 execution dtype). Returns (state, lam) or
+    (state, lam, comp')."""
     dtype = state.base_pos.dtype
     dt = p.dt
     kin = dynamics.forward_kinematics(model, state)
@@ -428,38 +449,64 @@ def substep(model, p: ImpulseParams, state: RobotState, lam, target_q,
     w_new = v[..., 0:3]
     lin_new = v[..., 3:6]
     qd_new = v[..., 6:]
-    return (
-        RobotState(
-            base_pos=state.base_pos + lin_new * dt,
-            base_orn=quat.integrate(state.base_orn, w_new, dt),
-            base_lin_vel=lin_new,
-            base_ang_vel=w_new,
-            joint_pos=state.joint_pos + qd_new * dt,
-            joint_vel=qd_new,
-        ),
-        lam,
+    if comp is None:
+        new_pos = state.base_pos + lin_new * dt
+        new_q = state.joint_pos + qd_new * dt
+    else:
+        cp, cq = comp
+        new_pos, cp = _kahan_add(state.base_pos, lin_new * dt, cp)
+        new_q, cq = _kahan_add(state.joint_pos, qd_new * dt, cq)
+        comp = (cp, cq)
+    out = RobotState(
+        base_pos=new_pos,
+        base_orn=quat.integrate(state.base_orn, w_new, dt),
+        base_lin_vel=lin_new,
+        base_ang_vel=w_new,
+        joint_pos=new_q,
+        joint_vel=qd_new,
     )
+    if comp is None:
+        return out, lam
+    return out, lam, comp
 
 
 def control_step(model, p: ImpulseParams, state: RobotState, lam, target_q,
-                 scene=None):
+                 scene=None, comp=None):
     """One 50 Hz control step: `substeps` hard-contact substeps with a held
-    target (reference primitive_level_env.py:202-210). Returns (state, lam)."""
+    target (reference primitive_level_env.py:202-210). Returns (state, lam)
+    — or (state, lam, comp') when a compensation carry is passed."""
+
+    if comp is None:
+        def body(carry, _):
+            s, l = carry
+            s, l = substep(model, p, s, l, target_q, scene=scene)
+            return (s, l), None
+
+        (state, lam), _ = jax.lax.scan(
+            body, (state, lam), None, length=p.substeps
+        )
+        return state, lam
 
     def body(carry, _):
-        s, l = carry
-        s, l = substep(model, p, s, l, target_q, scene=scene)
-        return (s, l), None
+        s, l, cm = carry
+        s, l, cm = substep(model, p, s, l, target_q, scene=scene, comp=cm)
+        return (s, l, cm), None
 
-    (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=p.substeps)
-    return state, lam
+    (state, lam, comp), _ = jax.lax.scan(
+        body, (state, lam, comp), None, length=p.substeps
+    )
+    return state, lam, comp
 
 
-def make_control_step(model, p: ImpulseParams, scene=None):
-    """Jittable f((state, lam), target_q) -> (state, lam) closure."""
+def make_control_step(model, p: ImpulseParams, scene=None, compensated=False):
+    """Jittable f((state, lam[, comp]), target_q) -> same-shape carry."""
 
     def step(carry, target_q):
         return control_step(model, p, carry[0], carry[1], target_q,
                             scene=scene)
 
-    return step
+    def step_comp(carry, target_q):
+        return control_step(model, p, carry[0], carry[1], target_q,
+                            scene=scene, comp=carry[2])
+
+    return step_comp if compensated else step

@@ -292,9 +292,14 @@ def make_gait_chase_solver(model, c, params, cfg: MPPIConfig, clips,
         for _ in range(n_best_response):
             for i in (0, 1):
                 j = 1 - i
-                opp_traj = rollout_tasks.rollout_plan_gait(
-                    c, params, states[j], u[j], ts, ref
-                )
+                if fused:
+                    opp_traj = traversal_pallas.rollout_plan_fused(
+                        sm, params, states[j], u[j], btab, ref
+                    )
+                else:
+                    opp_traj = rollout_tasks.rollout_plan_gait(
+                        c, params, states[j], u[j], ts, ref
+                    )
 
                 if fused:
                     def rollout_fn(state_k, u_cand, opp=opp_traj,

@@ -97,6 +97,15 @@ def test_north_star_criterion_f64(name):
     # contact, not model error (f64 shows 4e-9), so its ceiling carries
     # headroom. Receding-horizon solves re-measure state every 20 ms; the
     # single-step f32 error is ~2e-7 (asserted below).
+    #
+    # Round-4 ablations pin this as CHAOTIC AMPLIFICATION of f32 compute
+    # noise, not accumulator rounding: (a) Kahan-compensated position
+    # integration (impulse.make_control_step(compensated=True)) moves the
+    # stand max only 0.0107 -> 0.0106; (b) f64 position carriers with all
+    # dynamics/PGS compute in f32 give 0.0121 — no better than pure f32.
+    # The open-loop H=50 criterion in pure f32 would need f64 COMPUTE in
+    # the contact solve; the product loop never integrates open-loop that
+    # long (MPC re-measures state every control step).
     ("walk", 1e-2), ("run", 1e-2), ("stand", 2e-2),
 ])
 def test_north_star_criterion_f32(name, ceiling):

@@ -146,6 +146,27 @@ def test_fused_chase_matches_scan(role):
     )
 
 
+def test_fused_plan_matches_scan():
+    """rollout_plan_gait (tile oracle, batch (1,1)) vs the fused plan
+    kernel's base-position trajectory."""
+    c, params, tl, u, ref, scene = _setup(Bs=1)
+    tl1 = jax.tree.map(lambda x: x[..., :1, :1], tl)
+    ts = engine_tl.tl_scene(scene)
+    u_plan = 0.03 * jax.random.normal(jax.random.PRNGKey(3), (3, 4, 3),
+                                      jnp.float32)
+    want = jax.jit(
+        lambda s, up: rollout_tasks.rollout_plan_gait(
+            c, params, s, up, ts, ref
+        )
+    )(tl1, u_plan)
+    got = traversal_pallas.rollout_plan_fused(
+        MODEL, params, tl1, u_plan, scene, ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_box_contact_actually_fires():
     """The scene must change the fused cost (boxes are in the loop)."""
     c, params, tl, u, ref, scene = _setup(H=5)

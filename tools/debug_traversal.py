@@ -81,6 +81,7 @@ def main():
     ctrl = mpc_tasks.make_multigait_traversal_controller(
         model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
+        fused=jax.default_backend() != "cpu",
     )
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 

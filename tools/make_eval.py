@@ -151,6 +151,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     ctrl = mpc_tasks.make_multigait_traversal_controller(
         model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
+        fused=jax.default_backend() != "cpu",
     )
     second_is_jump = element_id == 1
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))

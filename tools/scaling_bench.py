@@ -97,12 +97,46 @@ def main():
         ms = float(np.min(ts) * 1e3)
         if t1 is None:
             t1 = ms
+        ms_n8 = ms  # last iteration leaves the n=8 time
         print(json.dumps({
             "metric": f"weak_scaling_n{n}_pop{n * pop_per_dev}_H{horizon}",
             "value": round(ms, 3),
             "unit": "ms",
             "vs_baseline": round(t1 / ms, 4),
         }), flush=True)
+
+    # FIXED-WORK CONTROL: the same total population as the n=8 row on a
+    # single virtual device. This machine has 2 physical cores hosting the
+    # 8 "devices", so weak scaling conflates core saturation with
+    # sharding/collective overhead; t(n8) / t(fixed-work n1) isolates the
+    # sharding cost alone (1.0 = sharding is free; <1 would mean the mesh
+    # program is slower than the equivalent single-device program).
+    mesh1 = meshlib.make_mesh(1)
+    cfg = mppi.MPPIConfig(horizon=horizon, population=8 * pop_per_dev,
+                          iterations=1)
+    solve = sharded_solve.make_sharded_solver(
+        mesh1, model, c, params, clips, cfg
+    )
+    args = (
+        jax.random.PRNGKey(0), tl,
+        jnp.zeros((horizon, 4, 3), jnp.float32),
+        jnp.asarray(0), jnp.asarray(0.5, jnp.float32),
+    )
+    u, diag = solve(*args)
+    jax.block_until_ready(u)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        u, diag = solve(*args)
+        jax.block_until_ready(u)
+        ts.append(time.perf_counter() - t0)
+    ms_fixed = float(np.min(ts) * 1e3)
+    print(json.dumps({
+        "metric": f"weak_scaling_fixedwork_n1_pop{8 * pop_per_dev}_H{horizon}",
+        "value": round(ms_fixed, 3),
+        "unit": "ms",
+        "vs_baseline": round(ms_fixed / ms_n8, 4),
+    }), flush=True)
 
     # SEPMC scenario-sweep weak scaling (BASELINE config 5): scenario count
     # grows with the mesh, per-chip shard constant. Scenarios never
@@ -154,20 +188,35 @@ def main():
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out = subprocess.run(
-        [sys.executable, os.path.join(here, "launch_multihost.py"),
-         "-n", "2", "--devices", "4", "--",
-         sys.executable, os.path.join(here, "multihost_worker.py"),
-         "--bench", "--pop_per_dev", str(max(pop_per_dev // 8, 16)),
-         "--horizon", str(horizon), "--substeps", str(substeps)],
-        capture_output=True, text=True, timeout=1800,
-    )
-    for ln in out.stdout.splitlines():
-        if ln.startswith("{"):
-            print(ln, flush=True)
-    if out.returncode != 0:
+
+    def run_pod(n_proc, n_dev):
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "launch_multihost.py"),
+             "-n", str(n_proc), "--devices", str(n_dev), "--",
+             sys.executable, os.path.join(here, "multihost_worker.py"),
+             "--bench", "--pop_per_dev", str(max(pop_per_dev // 8, 16)),
+             "--horizon", str(horizon), "--substeps", str(substeps)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        rows = [json.loads(ln) for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+        return out.returncode, rows
+
+    # baseline: the SAME 8-device program in ONE process (no DCN); the
+    # 2-process row's vs_baseline is then t(1 proc) / t(2 proc) — the
+    # gloo-over-localhost stand-in's cross-process efficiency.
+    rc1, rows1 = run_pod(1, 8)
+    rc2, rows2 = run_pod(2, 4)
+    base_ms = rows1[0]["value"] if rc1 == 0 and rows1 else None
+    for row in rows1:
+        print(json.dumps(row), flush=True)
+    for row in rows2:
+        if base_ms:
+            row["vs_baseline"] = round(base_ms / row["value"], 4)
+        print(json.dumps(row), flush=True)
+    if rc2 != 0:
         print(json.dumps({"metric": "multiproc_scaling_error",
-                          "value": out.returncode, "unit": "rc",
+                          "value": rc2, "unit": "rc",
                           "vs_baseline": 0.0}), flush=True)
 
 
