@@ -417,7 +417,8 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused=False):
     return f"sepmc_br_solve_latency_pop2x{pop_r}_H{horizon}", ms
 
 
-def bench_sweep(pop, horizon, substeps, reps, m_hi, mass_freeze, n_scen=16):
+def bench_sweep(pop, horizon, substeps, reps, m_hi, mass_freeze, n_scen=16,
+                fused=False):
     """Pod-scale SEPMC scenario sweep (BASELINE config 5), single-chip slice:
     n_scen randomized arenas, each running an alternating-best-response round
     (pop per robot per scenario), chained M rounds deep with warm starts.
@@ -453,7 +454,7 @@ def bench_sweep(pop, horizon, substeps, reps, m_hi, mass_freeze, n_scen=16):
             uw, _ = carry
             k = jax.random.fold_in(key, i)
             u, cost = scenario_sweep.sweep_scenarios_tiled(
-                c, params, cfg, k, scen, u_warm=uw
+                c, params, cfg, k, scen, u_warm=uw, fused=fused
             )
             return u, jnp.mean(cost)
 
@@ -558,7 +559,8 @@ def main():
     sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))
     sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 16, 128)))
     name, ms_w = bench_sweep(
-        sweep_pop, horizon, substeps, reps, m_hi, mass_freeze, sweep_s
+        sweep_pop, horizon, substeps, reps, m_hi, mass_freeze, sweep_s,
+        fused=fused and sweep_pop % 128 == 0,
     )
     emit(name, ms_w)
     # The hybrid's value is SAMPLE efficiency: at large populations the MPPI

@@ -117,9 +117,9 @@ def _clearance_cost(s: SP.State, bx, crawl_gap=0.0, margin=0.15,
 
 
 def _trav_kernel(
-    ref_ref,  # (H, 64) packed gait reference scalars
+    ref_ref,  # (1, H, 64) packed gait reference scalars (scenario block)
     task_ref,  # (1, 8) [tp_x, tp_y, tp_z, target_spd, ...]
-    boxes_ref,  # (K, 8) box table
+    boxes_ref,  # (1, K, 8) box table (scenario block)
     bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,  # state tile
     ctrl_ref,  # (H, 4, 3, bs_tile, LANES) deltas on the gait targets
     cost_ref,  # out: (bs_tile, LANES)
@@ -142,7 +142,7 @@ def _trav_kernel(
         jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
         jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
     )
-    btab = boxes_ref[:]  # (K, 8)
+    btab = boxes_ref[0]  # (K, 8)
     bx = tuple(btab[:, j][:, None, None] for j in range(7))
     tp = (task_ref[0, 0], task_ref[0, 1])
     tspd = task_ref[0, 3]
@@ -153,7 +153,7 @@ def _trav_kernel(
 
     def step(t, carry):
         s, last_d, acc = carry
-        rd = lambda col: ref_ref[t, col]
+        rd = lambda col: ref_ref[0, t, col]
         target = tuple(
             tuple(
                 rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
@@ -202,18 +202,9 @@ def _trav_kernel(
     cost_ref[:] = total
 
 
-def pack_opp(ref_packed, opp_traj):
-    """Write the opponent plan into the packed reference's spare columns.
-
-    ref_packed: (H, 64) from pack_reference; opp_traj: (H, 3[, 1, 1])
-    hoisted opponent base positions (rollout_tasks.rollout_plan[_gait])."""
-    opp = opp_traj.reshape(opp_traj.shape[0], -1)[:, :2]
-    return ref_packed.at[:, _OFF_OPP:_OFF_OPP + 2].set(opp)
-
-
 def _plan_kernel(
-    ref_ref,  # (H, 64) packed reference (target_joint drives the plan)
-    boxes_ref,  # (K, 8)
+    ref_ref,  # (1, H, 64) packed reference (target_joint drives the plan)
+    boxes_ref,  # (1, K, 8)
     bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,
     ctrl_ref,  # (H, 4, 3, bs_tile, LANES)
     traj_ref,  # out: (H, 4, bs_tile, LANES) base position (xyz + pad)
@@ -230,11 +221,11 @@ def _plan_kernel(
         jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
         jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
     )
-    btab = boxes_ref[:]
+    btab = boxes_ref[0]
     bx = tuple(btab[:, j][:, None, None] for j in range(7))
 
     def step(t, s):
-        rd = lambda col: ref_ref[t, col]
+        rd = lambda col: ref_ref[0, t, col]
         target = tuple(
             tuple(
                 rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
@@ -253,46 +244,59 @@ def _plan_kernel(
 
 def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
                        interpret: bool = None):
-    """Fused rollout_tasks.rollout_plan[_gait]: ONE plan's base trajectory.
+    """Fused rollout_tasks.rollout_plan[_gait]: plan base trajectories.
 
     The XLA plan rollout at batch (1, 1) is 500 sequential tiny substeps —
-    measured 95 ms on the chip, dominating the SEPMC best-response round.
-    Here the single plan rides one (BS_TILE, 128) kernel tile (lanes are
-    redundant copies; latency is what matters). state: TLState batch
-    (1, 1); u_plan: (H, 4, 3) deltas on ref.target_joint. Returns
-    (H, 3, 1, 1) like rollout_plan.
+    measured ~70-95 ms on the chip, dominating the SEPMC best-response
+    round and the scenario sweep. Each plan rides one kernel-grid program
+    (lanes are redundant copies; latency is what matters).
+
+    Single plan: state batch (1, 1), u_plan (H, 4, 3), boxes (K, 8) or a
+    scene, ref a RefTraj -> (H, 3, 1, 1) like rollout_plan.
+    Batched (scenario sweep): state batch (S, 1), u_plan (S, H, 4, 3),
+    boxes (S, K, 8), ref (S, H, 64) or shared RefTraj -> (H, 3, S, 1).
     """
     sm = model if isinstance(model, SP.ScalarModel) else SP.build_scalar_model(model)
-    H = u_plan.shape[0]
+    batched = u_plan.ndim == 4
+    S = u_plan.shape[0] if batched else 1
+    H = u_plan.shape[1] if batched else u_plan.shape[0]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+    if not (hasattr(boxes, "ndim") and boxes.ndim >= 2):
         boxes = pack_boxes(boxes)
-    K = boxes.shape[0]
+    if boxes.ndim == 2:
+        boxes = jnp.broadcast_to(boxes[None], (S,) + boxes.shape)
+    K = boxes.shape[1]
+    ref_packed = ref if hasattr(ref, "ndim") else pack_reference(ref)
+    if ref_packed.ndim == 2:
+        ref_packed = jnp.broadcast_to(ref_packed[None],
+                                      (S,) + ref_packed.shape)
+    dtype = state.base_pos.dtype
+    # lay scenarios on tile rows: state (.., S, 1) -> (.., S, LANES)
     state = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, x.shape[:-2] + (BS_TILE, LANES)), state
+        lambda x: jnp.broadcast_to(x, x.shape[:-2] + (S, LANES)), state
     )
+    up = u_plan if batched else u_plan[None]
     ctrl = jnp.broadcast_to(
-        u_plan[..., None, None], (H, 4, 3, BS_TILE, LANES)
-    ).astype(state.base_pos.dtype)
-    ref_packed = pack_reference(ref)
+        jnp.moveaxis(up, 0, 3)[..., None], (H, 4, 3, S, LANES)
+    ).astype(dtype)
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
         return pl.BlockSpec(
-            shape_prefix + (BS_TILE, LANES),
-            (lambda i, _nd=nd: (0,) * _nd + (0, 0)),
+            shape_prefix + (1, LANES),
+            (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
             memory_space=pltpu.VMEM,
         )
 
     kernel = functools.partial(_plan_kernel, sm=sm, params=params, horizon=H)
     traj = pl.pallas_call(
         kernel,
-        grid=(1,),
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
+            pl.BlockSpec((1, H, _REF_WIDTH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
+            pl.BlockSpec((1, K, BOX_WIDTH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
@@ -303,8 +307,7 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
             spec((H, 4, 3)),
         ],
         out_specs=spec((H, 4)),
-        out_shape=jax.ShapeDtypeStruct((H, 4, BS_TILE, LANES),
-                                       state.base_pos.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, 4, S, LANES), dtype),
         interpret=interpret,
     )(
         ref_packed,
@@ -317,13 +320,13 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
         state.joint_vel,
         ctrl,
     )
-    return traj[:, :3, :1, :1]
+    return traj[:, :3, :, :1]
 
 
 def _chase_kernel(
-    ref_ref,  # (H, 64) packed gait reference + opponent plan columns
+    ref_ref,  # (1, H, 64) packed gait reference + opponent plan columns
     task_ref,  # (1, 8) [flag_x, flag_y, chaser_mask, ...]
-    boxes_ref,  # (K, 8) arena box table
+    boxes_ref,  # (1, K, 8) arena box table
     bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,
     ctrl_ref,
     cost_ref,
@@ -343,14 +346,14 @@ def _chase_kernel(
         jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
         jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
     )
-    btab = boxes_ref[:]
+    btab = boxes_ref[0]
     bx = tuple(btab[:, j][:, None, None] for j in range(7))
     fp = (task_ref[0, 0], task_ref[0, 1])
     chaser_m = task_ref[0, 2]
 
     def step(t, carry):
         s, acc = carry
-        rd = lambda col: ref_ref[t, col]
+        rd = lambda col: ref_ref[0, t, col]
         target = tuple(
             tuple(
                 rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
@@ -447,17 +450,39 @@ def rollout_chase_fused(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+    if not (hasattr(boxes, "ndim") and boxes.ndim >= 2):
         boxes = pack_boxes(boxes)
-    K = boxes.shape[0]
-    ref_packed = pack_opp(pack_reference(ref), opp_traj)
-    fp = jnp.asarray(flag_pos).reshape(-1)[:2]
-    task = jnp.concatenate(
-        [fp, jnp.reshape(jnp.asarray(is_chaser, fp.dtype), (1,)),
-         jnp.zeros((5,), fp.dtype)]
-    ).reshape(1, BOX_WIDTH)
+    if boxes.ndim == 2:
+        boxes = boxes[None]
+    S = boxes.shape[0]
+    K = boxes.shape[1]
+    if S > 1:
+        assert Bs % S == 0, (Bs, S)
+        bs_tile = Bs // S
+    ref_packed = ref if hasattr(ref, "ndim") else pack_reference(ref)
+    if ref_packed.ndim == 2:
+        ref_packed = jnp.broadcast_to(ref_packed[None],
+                                      (S,) + ref_packed.shape)
+    # opp_traj: (H, 3[, 1, 1]) shared, or (S, H, 2+) per scenario
+    if jnp.ndim(opp_traj) >= 3 and opp_traj.shape[0] == S and S > 1:
+        opp = opp_traj.reshape(S, H, -1)[..., :2]
+        ref_packed = ref_packed.at[:, :, _OFF_OPP:_OFF_OPP + 2].set(opp)
+    else:
+        opp = opp_traj.reshape(H, -1)[:, :2]
+        ref_packed = ref_packed.at[:, :, _OFF_OPP:_OFF_OPP + 2].set(
+            opp[None]
+        )
+    fp = jnp.asarray(flag_pos)
+    fp = fp.reshape(-1, fp.shape[-1])[:, :2]
+    fp = jnp.broadcast_to(fp, (S, 2))
+    ch = jnp.broadcast_to(
+        jnp.asarray(is_chaser, fp.dtype).reshape(-1, 1), (S, 1)
+    )
+    task = jnp.concatenate([fp, ch, jnp.zeros((S, 5), fp.dtype)], axis=1)
 
     grid = (Bs // bs_tile,)
+    smap = (lambda i: (i, 0, 0)) if S > 1 else (lambda i: (0, 0, 0))
+    smap2 = (lambda i: (i, 0)) if S > 1 else (lambda i: (0, 0))
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
@@ -476,12 +501,9 @@ def rollout_chase_fused(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BOX_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BOX_WIDTH), smap2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
             spec((3,)),
@@ -550,17 +572,31 @@ def rollout_traversal_fused(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if not (hasattr(boxes, "ndim") and boxes.ndim == 2):
+    if not (hasattr(boxes, "ndim") and boxes.ndim >= 2):
         boxes = pack_boxes(boxes)
-    K = boxes.shape[0]
-    ref_packed = pack_reference(ref)
-    tp = jnp.asarray(target_pos).reshape(3)
+    if boxes.ndim == 2:
+        boxes = boxes[None]
+    S = boxes.shape[0]
+    K = boxes.shape[1]
+    if S > 1:
+        assert Bs % S == 0, (Bs, S)
+        bs_tile = Bs // S
+    ref_packed = ref if hasattr(ref, "ndim") else pack_reference(ref)
+    if ref_packed.ndim == 2:
+        ref_packed = jnp.broadcast_to(ref_packed[None],
+                                      (S,) + ref_packed.shape)
+    tp = jnp.asarray(target_pos).reshape(-1, 3) if jnp.ndim(target_pos) > 1 \
+        else jnp.broadcast_to(jnp.asarray(target_pos).reshape(1, 3), (S, 3))
+    spd = jnp.broadcast_to(
+        jnp.asarray(target_spd, tp.dtype).reshape(-1, 1), (S, 1)
+    )
     task = jnp.concatenate(
-        [tp, jnp.reshape(jnp.asarray(target_spd, tp.dtype), (1,)),
-         jnp.zeros((4,), tp.dtype)]
-    ).reshape(1, BOX_WIDTH)
+        [tp, spd, jnp.zeros((S, 4), tp.dtype)], axis=1
+    )
 
     grid = (Bs // bs_tile,)
+    smap = (lambda i: (i, 0, 0)) if S > 1 else (lambda i: (0, 0, 0))
+    smap2 = (lambda i: (i, 0)) if S > 1 else (lambda i: (0, 0))
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
@@ -580,12 +616,9 @@ def rollout_traversal_fused(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((H, _REF_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BOX_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, BOX_WIDTH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BOX_WIDTH), smap2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
             spec((3,)),

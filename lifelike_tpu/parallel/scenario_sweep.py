@@ -198,7 +198,7 @@ def _plan_traj(c, params, state_S: B.TLState, u_plan, ts_S):
 
 def sweep_scenarios_tiled(c, params, cfg: MPPIConfig, key,
                           scen: ScenarioBatch, u_warm=None,
-                          n_rounds: int = 1):
+                          n_rounds: int = 1, fused: bool = False):
     """The compiled-fast sweep: scenarios ARE tile rows, not a vmap axis.
 
     Each scenario's population fills (Bs, L) tiles; the S scenarios stack
@@ -215,11 +215,12 @@ def sweep_scenarios_tiled(c, params, cfg: MPPIConfig, key,
     Returns (u (S, 2, H, 4, 3), best_cost (S, 2)).
     """
     keys = jax.random.split(key, scen.flag_pos.shape[0])
-    return _tiled_from_keys(c, params, cfg, keys, scen, u_warm, n_rounds)
+    return _tiled_from_keys(c, params, cfg, keys, scen, u_warm, n_rounds,
+                            fused=fused)
 
 
 def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
-                     u_warm, n_rounds):
+                     u_warm, n_rounds, fused: bool = False):
     """sweep_scenarios_tiled with per-scenario keys supplied by the caller
     (the sharded sweep passes globally-indexed key shards)."""
     S = scen.flag_pos.shape[0]
@@ -244,6 +245,28 @@ def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
         _rows(scen.with_flag[:, i].astype(dtype), Bs) for i in (0, 1)
     ]  # (S*Bs, 1) each
 
+    if fused:
+        # per-scenario kernel blocks (ops.traversal_pallas): box tables
+        # (S, K, 8), constant-pose references (S, H, 64) with the per-robot
+        # initial joints as target_joint (rollout_chase's q0+u nominal)
+        from lifelike_tpu.ops import scalar_phys, traversal_pallas
+        from lifelike_tpu.robot.model import build_max_model
+
+        sm = scalar_phys.build_scalar_model(build_max_model())
+        act = scen.scene.active.astype(dtype)[..., None]
+        boxes_s = jnp.concatenate(
+            [scen.scene.center, scen.scene.half, act,
+             jnp.zeros_like(act)], axis=-1
+        )  # (S, K, 8)
+        refs = [
+            jnp.zeros((S, H, 64), dtype).at[:, :, :12].set(
+                robots[i].joint_pos[:, None, :]
+            )
+            for i in (0, 1)
+        ]
+        flag_s = scen.flag_pos[:, :2]
+        role_s = [scen.with_flag[:, i].astype(dtype) for i in (0, 1)]
+
     def _noise(keys_s):
         """Per-scenario AR(1) noise with sweep_scenarios' exact draw:
         (S,) keys -> (H, 4, 3, S*Bs, L)."""
@@ -258,7 +281,13 @@ def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
     for _ in range(n_rounds):
         for i in (0, 1):
             j = 1 - i
-            opp = _plan_traj(c, params, st_plan[j], u[j], ts_plan)
+            if fused:
+                opp = traversal_pallas.rollout_plan_fused(
+                    sm, params, st_plan[j], u[j], boxes_s, refs[j]
+                )  # (H, 3, S, 1)
+                opp_sc = jnp.moveaxis(opp[..., 0], 2, 0)[..., :2]  # (S,H,2)
+            else:
+                opp = _plan_traj(c, params, st_plan[j], u[j], ts_plan)
             opp_rows = jnp.repeat(opp, Bs, axis=2)  # (H, 3, S*Bs, 1)
 
             split = jax.vmap(jax.random.split)(keys)  # (S, 2, key)
@@ -274,10 +303,16 @@ def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
                 noise = cfg.sigma * _noise(k_iters[:, it])
                 u_rows = _rows(u[i], Bs)  # (H,4,3) rows: (H,4,3,S*Bs,1)
                 u_cand = u_rows + noise  # (H, 4, 3, S*Bs, L)
-                total_cost, _ = rollout_tasks.rollout_chase(
-                    c, params, state_k, u_cand, ts_rows, opp_rows, flag_rows,
-                    role_rows[i],
-                )  # (S*Bs, L)
+                if fused:
+                    total_cost = traversal_pallas.rollout_chase_fused(
+                        sm, params, state_k, u_cand, boxes_s, refs[i],
+                        opp_sc, flag_s, role_s[i], gait_weight=0.0,
+                    )  # (S*Bs, L)
+                else:
+                    total_cost, _ = rollout_tasks.rollout_chase(
+                        c, params, state_k, u_cand, ts_rows, opp_rows,
+                        flag_rows, role_rows[i],
+                    )  # (S*Bs, L)
 
                 cg = total_cost.reshape(S, Bs * lanes)
                 c_min = jnp.min(cg, axis=1, keepdims=True)

@@ -125,3 +125,28 @@ def test_sharded_sweep_matches_local_vmap():
         float(summary["min_cost"]), float(np.min(np.asarray(cost_l))),
         rtol=1e-10,
     )
+
+
+def test_fused_sweep_matches_xla_tiled():
+    """fused=True (per-scenario Pallas kernel blocks) vs the XLA tiled sweep:
+    same RNG schedule, same solves to kernel-vs-XLA numerics."""
+    scen = _scenarios(2)
+    c = B.tl_constants(MODEL, dtype=jnp.float32)
+    scen32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        scen,
+    )
+    key = jax.random.PRNGKey(0)
+    cfg = CFG._replace(population=128)
+    u_x, cost_x = jax.jit(
+        lambda k, s: scenario_sweep.sweep_scenarios_tiled(
+            c, PARAMS, cfg, k, s)
+    )(key, scen32)
+    u_f, cost_f = jax.jit(
+        lambda k, s: scenario_sweep.sweep_scenarios_tiled(
+            c, PARAMS, cfg, k, s, fused=True)
+    )(key, scen32)
+    np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_x),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_x),
+                               rtol=5e-2, atol=5e-3)

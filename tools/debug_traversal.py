@@ -74,8 +74,10 @@ def main():
                                     crawl_gap=0.18, ceiling=0.13)
         priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
     elif element_id == 3:
-        climb_w = TraversalWeights(pose=0.0)
-        priors = [(0, None), (3, climb_w, 0.6)]
+        # running jump onto the 0.25 m cube steps (the highstep walk
+        # mounts the 0.1 m step but stalls at the 0.25 m face — measured
+        # in tools/debug_traversal.py; the jump clip clears ~0.4 m)
+        priors = [(0, None), (1, None)]
     else:
         priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
@@ -108,7 +110,7 @@ def main():
     loop = me.RUN_LOOP if min(float(s.target_spd), args.spd_cap) > 1.2 \
         else me.CLIP_LOOP
     t_walk = loop[0]
-    t_jump = me.JUMP_T0 if element_id == 1 else me.CLIP_LOOP[0]
+    t_jump = me.JUMP_T0 if element_id in (1, 3) else me.CLIP_LOOP[0]
     spd_cmd = jnp.minimum(s.target_spd, args.spd_cap)
     for t in range(args.cap):
         key, k, ke = jax.random.split(key, 3)
@@ -120,7 +122,7 @@ def main():
         )
         s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
         t_walk = me._advance_clip(t_walk, loop)
-        if element_id == 1:
+        if element_id in (1, 3):
             if gate == 1:
                 t_jump = min(t_jump + 0.02, me.JUMP_END)
                 if t_jump >= me.JUMP_END:

@@ -80,9 +80,11 @@ def gate_skill(scene, base_pos, element_id):
     elif element_id == 2:  # holes: elevated bars -> crouch-crawl
         obst = a & (bottom > 0.15) & (top > 0.3)
         enter, exit_ = 0.55, 0.4
-    elif element_id == 3:  # cubes: ground boxes 0.1-0.3 tall -> climb
-        obst = a & (bottom < 0.02) & (top > 0.05) & (top <= 0.3)
-        enter, exit_ = 0.6, 0.6
+    elif element_id == 3:  # cubes: 0.25 m steps -> running jump; gate on
+        # the TALL cubes only (the 0.1 m aprons are walkable) with a long
+        # approach so the jump builds speed
+        obst = a & (bottom < 0.02) & (top > 0.15) & (top <= 0.3)
+        enter, exit_ = 1.0, 0.6
     else:
         return 0
     near = obst & ((c[:, 0] - h[:, 0]) - x < enter) & (
@@ -144,8 +146,10 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
                                     crawl_gap=0.18, ceiling=0.13)
         priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
     elif element_id == 3:
-        climb_w = TraversalWeights(pose=0.0)
-        priors = [(0, None), (3, climb_w, 0.6)]
+        # running jump onto the 0.25 m cube steps (the highstep walk
+        # mounts the 0.1 m step but stalls at the 0.25 m face — measured
+        # in tools/debug_traversal.py; the jump clip clears ~0.4 m)
+        priors = [(0, None), (1, None)]
     else:
         priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
@@ -153,7 +157,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
         fused=jax.default_backend() != "cpu",
     )
-    second_is_jump = element_id == 1
+    second_is_jump = element_id in (1, 3)
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
     results = []
