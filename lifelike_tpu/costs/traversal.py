@@ -78,9 +78,12 @@ def posture_cost(state: RobotState, weights=None):
     return cost
 
 
-def _dense_shaping(spd, align, target_spd, weights):
+def _dense_shaping(spd_signed, align, target_spd, weights):
+    # SIGNED speed (see rollout_tasks._dense_shaping_tl): the parity
+    # reward's |v . dir| must not leak into the shaping term, or backward
+    # walking scores like forward.
     return (
-        weights.velocity * jnp.abs(spd - target_spd) / (1.0 + target_spd)
+        weights.velocity * jnp.abs(spd_signed - target_spd) / (1.0 + target_spd)
         + weights.heading * (1.0 - align)
     )
 
@@ -93,15 +96,15 @@ def joystick_cost(
     diff = (target_pos - state.base_pos)[..., :2]
     d = jnp.linalg.norm(diff, axis=-1).clip(1e-8)
     dir_w = diff / d[..., None]
-    spd = jnp.abs(
+    spd_sg = (
         state.base_lin_vel[..., 0] * dir_w[..., 0]
         + state.base_lin_vel[..., 1] * dir_w[..., 1]
     )
-    r_vel = jnp.exp(-jnp.abs(spd - target_spd))
+    r_vel = jnp.exp(-jnp.abs(jnp.abs(spd_sg) - target_spd))
     yaw = quat.yaw(state.base_orn)
     align = jnp.cos(yaw) * dir_w[..., 0] + jnp.sin(yaw) * dir_w[..., 1]
     r_rot = jnp.exp((align - 1.0) * 5.0)
-    cost = 1.0 - r_vel * r_rot + _dense_shaping(spd, align, target_spd, weights)
+    cost = 1.0 - r_vel * r_rot + _dense_shaping(spd_sg, align, target_spd, weights)
     cost = cost + posture_cost(state, weights)
     fall = tracking.fall_terminated(state)
     return cost + weights.fall * fall.astype(cost.dtype)

@@ -75,13 +75,13 @@ def _direction_terms(s: SP.State, tp):
     dy = tp[1] - s.pb[1]
     d = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-8)
     dirx, diry = dx / d, dy / d
-    spd = jnp.abs(s.vb[0] * dirx + s.vb[1] * diry)
+    spd_sg = s.vb[0] * dirx + s.vb[1] * diry
     # cos/sin of base yaw without atan2: normalized forward-axis projection
     m = SP.quat_to_mat(s.q)
     fx, fy = m[0][0], m[1][0]
     fnorm = jnp.maximum(jnp.sqrt(fx * fx + fy * fy), 1e-8)
     align = (fx * dirx + fy * diry) / fnorm
-    return d, spd, align
+    return d, jnp.abs(spd_sg), spd_sg, align
 
 
 def _posture_cost(s: SP.State, w: TraversalWeights):
@@ -163,7 +163,7 @@ def _trav_kernel(
         )
         s = SP.control_step(sm, params, s, target, boxes=bx)
 
-        d, spd, align = _direction_terms(s, tp)
+        d, spd, spd_sg, align = _direction_terms(s, tp)
         r_rot = jnp.exp((align - 1.0) * 5.0)
         if reward_type == "joystick":
             r_vel = jnp.exp(-jnp.abs(spd - tspd))
@@ -172,7 +172,7 @@ def _trav_kernel(
         else:  # average_speed family
             cost = 0.1 * (d - last_d) / d0 - (0.2 / float(max_steps)) * r_rot
             new_d = d
-        cost = cost + weights.velocity * jnp.abs(spd - tspd) / (1.0 + tspd)
+        cost = cost + weights.velocity * jnp.abs(spd_sg - tspd) / (1.0 + tspd)
         cost = cost + weights.heading * (1.0 - align)
         cost = cost + _posture_cost(s, weights)
         cost = cost + weights.fall * _fall_mask(s).astype(cost.dtype)

@@ -78,24 +78,28 @@ def posture_cost_tl(s: B.TLState, w):
 
 
 def _direction_terms(s: B.TLState, target_pos):
-    """Shared joystick geometry: unit direction to target, speed along it,
-    heading-alignment dot. target_pos (3,[ Bs, L]) broadcastable."""
+    """Shared joystick geometry: unit direction to target, speed along it
+    (absolute, reference parity + SIGNED for shaping), heading-alignment
+    dot. target_pos (3,[ Bs, L]) broadcastable."""
     diff = target_pos[:2] - s.base_pos[:2]  # (2, Bs, L)
     d = jnp.sqrt(jnp.sum(diff * diff, axis=0)).clip(1e-8)
     dir_w = diff / d[None]
-    spd = jnp.abs(
+    spd_signed = (
         s.base_lin_vel[0] * dir_w[0] + s.base_lin_vel[1] * dir_w[1]
     )
     yaw = yaw_tl(s.base_orn)
     align = jnp.cos(yaw) * dir_w[0] + jnp.sin(yaw) * dir_w[1]
-    return d, spd, align
+    return d, jnp.abs(spd_signed), spd_signed, align
 
 
-def _dense_shaping_tl(spd, align, target_spd, w: TraversalWeights):
+def _dense_shaping_tl(spd_signed, align, target_spd, w: TraversalWeights):
     """Dense speed/heading shaping — see costs.traversal.TraversalWeights:
-    with velocity=heading=0 the stage cost is exactly the negated reward."""
+    with velocity=heading=0 the stage cost is exactly the negated reward.
+    SIGNED speed on purpose: the parity reward's |v . dir| scores backward
+    motion like forward, and a bounced solver then walks away from the
+    course (measured in tools/debug_traversal.py cubes run)."""
     return (
-        w.velocity * jnp.abs(spd - target_spd) / (1.0 + target_spd)
+        w.velocity * jnp.abs(spd_signed - target_spd) / (1.0 + target_spd)
         + w.heading * (1.0 - align)
     )
 
@@ -104,10 +108,10 @@ def joystick_cost_tl(s: B.TLState, target_pos, target_spd,
                      w: TraversalWeights = TraversalWeights()):
     """1 - reward_vel * reward_rotation (playground_env.py:479-502)
     + dense shaping + fall."""
-    _, spd, align = _direction_terms(s, target_pos)
+    _, spd, spd_sg, align = _direction_terms(s, target_pos)
     r_vel = jnp.exp(-jnp.abs(spd - target_spd))
     r_rot = jnp.exp((align - 1.0) * 5.0)
-    cost = 1.0 - r_vel * r_rot + _dense_shaping_tl(spd, align, target_spd, w)
+    cost = 1.0 - r_vel * r_rot + _dense_shaping_tl(spd_sg, align, target_spd, w)
     cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype)
 
@@ -118,11 +122,11 @@ def avg_speed_cost_tl(s: B.TLState, target_pos, target_spd, last_dist,
     """Negated average_speed family stage reward (playground_env.py:504-539):
     0.1 * dist-progress - 0.2/max_steps * rotation, plus dense shaping.
     Returns (cost, new_dist)."""
-    d, spd, align = _direction_terms(s, target_pos)
+    d, spd, spd_sg, align = _direction_terms(s, target_pos)
     r_rot = jnp.exp((align - 1.0) * 5.0)
     r_dist = (d - last_dist) / init_dist
     cost = 0.1 * r_dist - (0.2 / float(max_steps)) * r_rot
-    cost = cost + _dense_shaping_tl(spd, align, target_spd, w)
+    cost = cost + _dense_shaping_tl(spd_sg, align, target_spd, w)
     cost = cost + posture_cost_tl(s, w)
     return cost + w.fall * fall_mask_tl(s).astype(cost.dtype), d
 
