@@ -72,7 +72,7 @@ def main():
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
                                     crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
+        priors = [(0, None), (2, crouch_w, 0.4)]
     elif element_id == 3:
         # running jump onto the 0.25 m cube steps (the highstep walk
         # mounts the 0.1 m step but stalls at the 0.25 m face — measured

@@ -39,7 +39,9 @@ import numpy as np  # noqa: E402
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 MODELS = {
     "pmc": "/root/reference/data/models/primitive_level.model",
-    "epmc": "/root/reference/data/models/environmental_level_hurdle.model",
+    "epmc_hurdle": "/root/reference/data/models/environmental_level_hurdle.model",
+    "epmc_hole": "/root/reference/data/models/environmental_level_hole.model",
+    "epmc_cube": "/root/reference/data/models/environmental_level_cube.model",
     "sepmc": "/root/reference/data/models/strategic_level.model",
 }
 ELEMENT_NAMES = {1: "hurdles", 2: "holes", 3: "cubes"}
@@ -144,7 +146,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     if element_id == 2:
         crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
                                     crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4, 0.5)]
+        priors = [(0, None), (2, crouch_w, 0.4)]
     elif element_id == 3:
         # running jump onto the 0.25 m cube steps (the highstep walk
         # mounts the 0.1 m step but stalls at the 0.25 m face — measured
@@ -334,9 +336,29 @@ def eval_chase_game(seeds, cap, population, horizon):
 # hurdle model reaches course targets and the strategic model catches.
 EVAL_ENV_CONFIG = {
     "pmc": "",
-    "epmc": (
+    "epmc_hurdle": (
         "{'kp': 50.0, 'kd': 0.5, 'max_tau': 16, 'max_steps': 1000, "
         "'env_randomize_config': {'element_id': 1, "
+        "'friction_range': [0.4, 1.0], "
+        "'disturb_force_config': {'start_time': 0.5, 'interval_time': 1.0, "
+        "'duration_time': 0.2, 'horizontal_force': [0, 50], "
+        "'vertical_force': [0, 10]}, "
+        "'cmd_vary_freq_range': [9999, 10000], "
+        "'target_spd_range': [3.0, 3.0]}}"
+    ),
+    "epmc_hole": (
+        "{'kp': 50.0, 'kd': 0.5, 'max_tau': 16, 'max_steps': 1000, "
+        "'env_randomize_config': {'element_id': 2, "
+        "'friction_range': [0.4, 1.0], "
+        "'disturb_force_config': {'start_time': 0.5, 'interval_time': 1.0, "
+        "'duration_time': 0.2, 'horizontal_force': [0, 50], "
+        "'vertical_force': [0, 10]}, "
+        "'cmd_vary_freq_range': [9999, 10000], "
+        "'target_spd_range': [3.0, 3.0], 'hole_config': {'min_gap_height': 0.25, 'max_gap_height': 0.25}}}"
+    ),
+    "epmc_cube": (
+        "{'kp': 50.0, 'kd': 0.5, 'max_tau': 16, 'max_steps': 1000, "
+        "'env_randomize_config': {'element_id': 3, "
         "'friction_range': [0.4, 1.0], "
         "'disturb_force_config': {'start_time': 0.5, 'interval_time': 1.0, "
         "'duration_time': 0.2, 'horizontal_force': [0, 50], "
@@ -363,8 +385,9 @@ def eval_checkpoints(episodes, max_steps):
     for task, path in MODELS.items():
         # --cpu: the axon TPU tunnel is single-tenant and the parent holds
         # it; the nets are tiny so CPU episode rollouts are fine
+        cli_task = "epmc" if task.startswith("epmc") else task
         cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
-               f"--task={task}", f"--model_path={path}", "--cpu",
+               f"--task={cli_task}", f"--model_path={path}", "--cpu",
                f"--episodes={episodes}", f"--max_steps={max_steps}"]
         if EVAL_ENV_CONFIG[task]:
             cmd.append(f"--env_config={EVAL_ENV_CONFIG[task]}")

@@ -78,9 +78,62 @@ def main():
         measured_s=dt,
     )
     print(f"solve pop={pop} H={horizon} sub={substeps}")
+    print("-- XLA cost-analysis roofline (UNDERCOUNTS the Pallas kernel: a")
+    print("   custom call reports ~0 FLOPs, so 'memory-bound' below refers")
+    print("   to the XLA-visible ops only) --")
     print(P.format_report(r))
     subs = pop * horizon * substeps
     print(f"{subs / dt / 1e6:.0f} M physics substeps/s")
+
+    # -- honest VPU arithmetic model: count the kernel's per-lane scalar
+    # ops by tracing one control step of ops.scalar_phys (what the kernel
+    # actually executes per lane per control step) --
+    flops_lane = _lane_flops_per_control_step(sm, params)
+    kernel_flops = flops_lane * pop * horizon
+    spec = P.detect_chip()
+    # the physics is pure VPU elementwise work (no matmuls -> MXU idle);
+    # VPU f32 throughput ~= peak_flops_f32 / 2 on recent TPUs (the f32
+    # peak counts the MXU; public VPU specs put it at ~2-4% of MXU peak,
+    # but scalar-heavy kernels are bounded by issue rate, so report
+    # against BOTH the chip peak and a 1/8-peak VPU estimate)
+    print("-- VPU arithmetic model (hand-counted from the scalar physics) --")
+    print(f"   {flops_lane:,} scalar ops/lane/control-step; "
+          f"{kernel_flops / 1e9:.1f} GFLOP per solve")
+    print(f"   achieved {kernel_flops / dt / 1e12:.2f} TFLOP/s over "
+          f"{dt * 1e3:.2f} ms on {spec.name} "
+          f"(chip f32 peak {spec.peak_flops_f32 / 1e12:.0f} TFLOP/s incl. "
+          f"MXU; fraction {kernel_flops / dt / spec.peak_flops_f32:.3f})")
+
+
+def _lane_flops_per_control_step(sm, params):
+    """Arithmetic-primitive count of one scalar_phys.control_step traced at
+    (1, 1) tiles — each arithmetic eqn is one op per lane."""
+    import numpy as np
+
+    from lifelike_tpu.ops import scalar_phys as SP
+
+    z = jnp.zeros((1, 1), jnp.float32)
+    st = SP.State(
+        pb=(z, z, z + 0.33), q=(z, z, z, z + 1.0),
+        vb=(z, z, z), wb=(z, z, z),
+        jq=tuple((z, z + 0.5, z + 1.5) for _ in range(4)),
+        jqd=tuple((z, z, z) for _ in range(4)),
+    )
+    target = tuple((z, z + 0.5, z + 1.5) for _ in range(4))
+    jaxpr = jax.make_jaxpr(
+        lambda s: SP.control_step(sm, params, s, target)
+    )(st).jaxpr
+    arith = {
+        "add", "sub", "mul", "div", "sqrt", "rsqrt", "exp", "tanh", "log",
+        "sin", "cos", "abs", "neg", "max", "min", "integer_pow", "pow",
+        "select_n", "lt", "gt", "ge", "le", "clamp", "sign", "logistic",
+    }
+    count = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in arith:
+            for ov in eqn.outvars:
+                count += int(np.prod(ov.aval.shape)) if ov.aval.shape else 1
+    return count
 
 
 if __name__ == "__main__":
