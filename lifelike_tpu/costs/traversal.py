@@ -73,7 +73,9 @@ def posture_cost(state: RobotState, weights=None):
         + w.upright * (1.0 - up_z)
         + w.pose * pose_err
     )
-    if w.ceiling > 0.0:
+    # getattr: the chase stage cost shares this posture prior through
+    # ChaseWeights, which carries no ceiling field
+    if getattr(w, "ceiling", 0.0) > 0.0:
         cost = cost + w.ceiling_w * jnp.maximum(z - w.ceiling, 0.0)
     return cost
 

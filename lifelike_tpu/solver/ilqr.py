@@ -317,8 +317,7 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
              else riccati_pallas.riccati_sweep_ref)
 
     def one_iteration(carry, _):
-        us, best_cost, reg_s = carry
-        xs, _, _ = roll(x0, us)  # (S, H, n)
+        us, xs, best_cost, reg_s = carry
         A, Bm, cx, cu, Cxx, Cuu = linearize(step_fn, cost_fn, xs, us)
         # fold the per-scenario LM damping into Cuu (reg only ever enters
         # the recursion through Quu = Cuu + B'VB + reg*I)
@@ -327,48 +326,57 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
         ks, Ks = sweep(A, Bm, cx, cu, Cxx, Cuu, reg=0.0)
 
         def fwd_one(alpha, x0_s, us_s, xs_s, ks_s, Ks_s):
+            """Feedback rollout that ALSO records states and accumulates
+            the true cost — one forward pass serves candidate generation,
+            evaluation, and the next iteration's linearization states."""
             def fwd(carry, inp):
                 x, t = carry
                 u_old, x_old, k, K = inp
                 u = u_old + alpha * k + K @ (x - x_old)
-                return (step_fn(x, u, t), t + 1.0), u
+                c = cost_fn(x, u, t)
+                return (step_fn(x, u, t), t + 1.0), (u, x, c)
 
-            (_, _), us_new = jax.lax.scan(
+            (_, _), (us_new, xs_new, cs) = jax.lax.scan(
                 fwd, (x0_s, jnp.zeros((), x0.dtype)), (us_s, xs_s, ks_s, Ks_s)
             )
-            return us_new
+            return us_new, xs_new, jnp.sum(cs)
 
         # all line-search alphas ride ONE batched rollout (sequential depth
         # is the latency wall at S ~ 8; alpha-stacking quarters the number
-        # of 500-substep-deep scans per iteration)
+        # of 500-substep-deep scans per iteration, and in-rollout cost/state
+        # recording removes the separate scoring and linearization-state
+        # rollouts entirely)
         alphas = jnp.asarray(cfg.line_search, x0.dtype)
 
         def try_alpha(alpha):
-            us_new = jax.vmap(fwd_one, in_axes=(None, 0, 0, 0, 0, 0))(
+            return jax.vmap(fwd_one, in_axes=(None, 0, 0, 0, 0, 0))(
                 alpha, x0, us, xs, ks, Ks
             )
-            _, _, cost_new = roll(x0, us_new)
-            return us_new, cost_new
 
-        us_stack, costs = jax.vmap(try_alpha)(alphas)
+        us_stack, xs_stack, costs = jax.vmap(try_alpha)(alphas)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)  # (n_alpha, S)
         best = jnp.argmin(costs, axis=0)  # (S,)
         us_best = jnp.take_along_axis(
             us_stack, best[None, :, None, None], axis=0
         )[0]
+        xs_best = jnp.take_along_axis(
+            xs_stack, best[None, :, None, None], axis=0
+        )[0]
         cost_b = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
         improved = cost_b < best_cost  # (S,)
         us_out = jnp.where(improved[:, None, None], us_best, us)
+        xs_out = jnp.where(improved[:, None, None], xs_best, xs)
         new_best = jnp.where(improved, cost_b, best_cost)
         reg_next = jnp.clip(
             jnp.where(improved, reg_s * cfg.reg_down, reg_s * cfg.reg_up),
             cfg.reg_min, cfg.reg_max,
         )
-        return (us_out, new_best, reg_next), None
+        return (us_out, xs_out, new_best, reg_next), None
 
-    _, _, cost0 = roll(x0, u_init)
+    xs0, _, cost0 = roll(x0, u_init)
     reg0 = jnp.full((S,), cfg.reg, x0.dtype)
-    (u_opt, final_cost, _), _ = jax.lax.scan(
-        one_iteration, (u_init, cost0, reg0), None, length=cfg.iterations
+    (u_opt, _, final_cost, _), _ = jax.lax.scan(
+        one_iteration, (u_init, xs0, cost0, reg0), None,
+        length=cfg.iterations
     )
     return u_opt, {"initial_cost": cost0, "final_cost": final_cost}
