@@ -76,9 +76,11 @@ def gate_skill(scene, base_pos, element_id):
     x = float(np.asarray(base_pos)[0])
     bottom = c[:, 2] - h[:, 2]
     top = c[:, 2] + h[:, 2]
-    if element_id == 1:  # hurdles: ground boxes 0.05-0.15 tall -> jump
-        obst = a & (bottom < 0.02) & (top > 0.03) & (top < 0.2)
-        enter, exit_ = 0.7, 0.35
+    if element_id == 1:
+        # hurdles: COST-BASED jump selection (run C evidence: forcing the
+        # jump at every hurdle makes the robot fall; letting the two
+        # priors' weighted costs compete engages it only when beneficial)
+        return -1
     elif element_id == 2:  # holes: elevated bars -> crouch-crawl
         obst = a & (bottom > 0.15) & (top > 0.3)
         enter, exit_ = 0.55, 0.4
@@ -193,13 +195,14 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
             )
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
             t_walk = _advance_clip(t_walk, loop)
-            jumps += gate
+            engaged = int(sel) == 1 if gate < 0 else gate == 1
+            jumps += engaged
             if second_is_jump:
-                if gate == 1:  # jump gated: play it through
+                if engaged:  # jump selected/gated: play it through
                     t_jump = min(t_jump + 0.02, JUMP_END)
                     if t_jump >= JUMP_END:
                         t_jump = JUMP_T0
-                else:  # rewind an un-gated jump toward its approach
+                else:  # rewind an un-engaged jump toward its approach
                     t_jump = max(JUMP_T0, t_jump - 0.06)
             else:  # crouch/climb priors loop in phase with the walk
                 t_jump = _advance_clip(t_jump, CLIP_LOOP)
@@ -234,8 +237,10 @@ def eval_chase(seeds, cap, population, horizon, standing_escapee):
     clips = motion_lib.load_clips(WALK_CLIP)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
                       sigma=0.12)
-    solver = mpc_tasks.make_gait_chase_solver(model, c, cfg.params, mcfg,
-                                              clips, n_best_response=1)
+    solver = mpc_tasks.make_gait_chase_solver(
+        model, c, cfg.params, mcfg, clips, n_best_response=1,
+        fused=jax.default_backend() != "cpu",
+    )
     step = jax.jit(lambda st, a, k: chase_tag.step(model, cfg, st, a, k))
 
     results = []
@@ -287,8 +292,10 @@ def eval_chase_game(seeds, cap, population, horizon):
     clips = motion_lib.load_clips(WALK_CLIP)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=1,
                       sigma=0.12)
-    solver = mpc_tasks.make_gait_chase_solver(model, c, cfg.params, mcfg,
-                                              clips, n_best_response=1)
+    solver = mpc_tasks.make_gait_chase_solver(
+        model, c, cfg.params, mcfg, clips, n_best_response=1,
+        fused=jax.default_backend() != "cpu",
+    )
     step = jax.jit(lambda st, a, k: chase_tag.step(model, cfg, st, a, k))
 
     results = []
