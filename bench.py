@@ -557,7 +557,7 @@ def main():
                              fused=fused)
     emit(name, ms_s)
     sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))
-    sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 16, 128)))
+    sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 4, 1024)))
     name, ms_w = bench_sweep(
         sweep_pop, horizon, substeps, reps, m_hi, mass_freeze, sweep_s,
         fused=fused and sweep_pop % 128 == 0,

@@ -272,19 +272,25 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
         ref_packed = jnp.broadcast_to(ref_packed[None],
                                       (S,) + ref_packed.shape)
     dtype = state.base_pos.dtype
-    # lay scenarios on tile rows: state (.., S, 1) -> (.., S, LANES)
+    # lay scenarios on tile rows, 8 sublanes each (Mosaic requires row
+    # blocks divisible by 8): scenario i owns rows [8i, 8i+8)
+    R = 8
     state = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, x.shape[:-2] + (S, LANES)), state
+        lambda x: jnp.repeat(
+            jnp.broadcast_to(x, x.shape[:-2] + (S, LANES)), R, axis=-2
+        ),
+        state,
     )
     up = u_plan if batched else u_plan[None]
     ctrl = jnp.broadcast_to(
-        jnp.moveaxis(up, 0, 3)[..., None], (H, 4, 3, S, LANES)
+        jnp.repeat(jnp.moveaxis(up, 0, 3), R, axis=-1)[..., None],
+        (H, 4, 3, S * R, LANES),
     ).astype(dtype)
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
         return pl.BlockSpec(
-            shape_prefix + (1, LANES),
+            shape_prefix + (R, LANES),
             (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
             memory_space=pltpu.VMEM,
         )
@@ -307,7 +313,7 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
             spec((H, 4, 3)),
         ],
         out_specs=spec((H, 4)),
-        out_shape=jax.ShapeDtypeStruct((H, 4, S, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((H, 4, S * R, LANES), dtype),
         interpret=interpret,
     )(
         ref_packed,
@@ -320,7 +326,7 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
         state.joint_vel,
         ctrl,
     )
-    return traj[:, :3, :, :1]
+    return traj[:, :3, ::R, :1]
 
 
 def _chase_kernel(

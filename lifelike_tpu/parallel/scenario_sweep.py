@@ -231,6 +231,11 @@ def _tiled_from_keys(c, params, cfg: MPPIConfig, keys, scen: ScenarioBatch,
     lanes = 128 if K % 128 == 0 else K
     assert K % lanes == 0, (K, lanes)
     Bs = K // lanes
+    if fused and (Bs % 8 != 0 or lanes != 128):
+        # Mosaic requires 8-sublane row blocks; per-scenario kernel blocks
+        # therefore need population >= 1024 (8 rows x 128 lanes). Smaller
+        # sweeps stay on the XLA tile path.
+        fused = False
     dtype = scen.flag_pos.dtype
     if u_warm is None:
         u_warm = jnp.zeros((S, 2, H, 4, 3), dtype)
