@@ -109,7 +109,46 @@ def main():
         print(f"mean |a_llc| {np.mean(amags):.4f}; reward sum "
               f"{np.sum(rews):.3f} over {len(rews)} steps")
     else:
-        raise SystemExit("sepmc diagnostics TBD")
+        from lifelike_tpu.models.sepmc import SEPMCNet
+
+        bundle = factory.create_chase_tag_game(
+            element_config={"rand_cube": False, "hurdle": False,
+                            "hole": False})
+        net = SEPMCNet()
+        key = jax.random.PRNGKey(0)
+        env_state, obs = bundle.reset(key)
+        hs = net.initial_state((2,))
+        flat = lambda o: {f: getattr(o, f) for f in o._fields}
+        params = net.init({"params": key, "hlc": key, "z": key},
+                          flat(obs), hs, jnp.zeros(2))
+        imported = tleague_import.import_sepmc(MODELS["sepmc"], params)
+        rms = imported["params"]["epmc"]["prop_rms"] \
+            if "epmc" in imported["params"] else None
+        fwd = jax.jit(lambda p, o, h, k1, k2: net.apply(
+            p, o, h, jnp.zeros(2), rngs={"hlc": k1, "z": k2}))
+        step = jax.jit(lambda s, a, k: bundle.step(s, a, k))
+        zs, amags, rews = [], [], []
+        for t in range(args.steps):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            out = fwd(imported, flat(obs), hs, k1, k2)
+            hs = out.hs
+            if hasattr(out, "z_idx"):
+                zs.extend(np.asarray(out.z_idx).ravel().tolist())
+            amags.append(float(np.abs(np.asarray(out.mean)).mean()))
+            env_state, obs, r, done, info = step(
+                env_state, {"A_LLC": out.mean}, k3)
+            rews.append(np.asarray(r))
+            if bool(done):
+                print(f"episode ended at t={t} "
+                      f"(caught={bool(info.get('caught', 0))})")
+                key, kr = jax.random.split(key)
+                env_state, obs = bundle.reset(kr)
+                hs = net.initial_state((2,))
+        if zs:
+            zs = np.asarray(zs)
+            print(f"z_idx: {len(np.unique(zs))} unique / {len(zs)} draws")
+        print(f"mean |a_llc| {np.mean(amags):.4f}; per-robot reward sums "
+              f"{np.sum(rews, axis=0)}")
 
 
 if __name__ == "__main__":
