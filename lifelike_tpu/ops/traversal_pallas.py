@@ -118,7 +118,7 @@ def _clearance_cost(s: SP.State, bx, crawl_gap=0.0, margin=0.15,
 
 def _trav_kernel(
     ref_ref,  # (1, H, 64) packed gait reference scalars (scenario block)
-    task_ref,  # (1, 8) [tp_x, tp_y, tp_z, target_spd, ...]
+    task_ref,  # (1, 1, 8) [tp_x, tp_y, tp_z, target_spd, ...]
     boxes_ref,  # (1, K, 8) box table (scenario block)
     bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,  # state tile
     ctrl_ref,  # (H, 4, 3, bs_tile, LANES) deltas on the gait targets
@@ -144,8 +144,8 @@ def _trav_kernel(
     )
     btab = boxes_ref[0]  # (K, 8)
     bx = tuple(btab[:, j][:, None, None] for j in range(7))
-    tp = (task_ref[0, 0], task_ref[0, 1])
-    tspd = task_ref[0, 3]
+    tp = (task_ref[0, 0, 0], task_ref[0, 0, 1])
+    tspd = task_ref[0, 0, 3]
 
     d0x = tp[0] - state.pb[0]
     d0y = tp[1] - state.pb[1]
@@ -331,7 +331,7 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
 
 def _chase_kernel(
     ref_ref,  # (1, H, 64) packed gait reference + opponent plan columns
-    task_ref,  # (1, 8) [flag_x, flag_y, chaser_mask, ...]
+    task_ref,  # (1, 1, 8) [flag_x, flag_y, chaser_mask, ...]
     boxes_ref,  # (1, K, 8) arena box table
     bp_ref, bo_ref, blv_ref, bav_ref, jp_ref, jv_ref,
     ctrl_ref,
@@ -354,8 +354,8 @@ def _chase_kernel(
     )
     btab = boxes_ref[0]
     bx = tuple(btab[:, j][:, None, None] for j in range(7))
-    fp = (task_ref[0, 0], task_ref[0, 1])
-    chaser_m = task_ref[0, 2]
+    fp = (task_ref[0, 0, 0], task_ref[0, 0, 1])
+    chaser_m = task_ref[0, 0, 2]
 
     def step(t, carry):
         s, acc = carry
@@ -484,11 +484,12 @@ def rollout_chase_fused(
     ch = jnp.broadcast_to(
         jnp.asarray(is_chaser, fp.dtype).reshape(-1, 1), (S, 1)
     )
-    task = jnp.concatenate([fp, ch, jnp.zeros((S, 5), fp.dtype)], axis=1)
+    task = jnp.concatenate(
+        [fp, ch, jnp.zeros((S, 5), fp.dtype)], axis=1
+    ).reshape(S, 1, BOX_WIDTH)
 
     grid = (Bs // bs_tile,)
     smap = (lambda i: (i, 0, 0)) if S > 1 else (lambda i: (0, 0, 0))
-    smap2 = (lambda i: (i, 0)) if S > 1 else (lambda i: (0, 0))
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
@@ -508,7 +509,7 @@ def rollout_chase_fused(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BOX_WIDTH), smap2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
@@ -598,11 +599,10 @@ def rollout_traversal_fused(
     )
     task = jnp.concatenate(
         [tp, spd, jnp.zeros((S, 4), tp.dtype)], axis=1
-    )
+    ).reshape(S, 1, BOX_WIDTH)
 
     grid = (Bs // bs_tile,)
     smap = (lambda i: (i, 0, 0)) if S > 1 else (lambda i: (0, 0, 0))
-    smap2 = (lambda i: (i, 0)) if S > 1 else (lambda i: (0, 0))
 
     def spec(shape_prefix):
         nd = len(shape_prefix)
@@ -623,7 +623,7 @@ def rollout_traversal_fused(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BOX_WIDTH), smap2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
