@@ -101,6 +101,9 @@ def create_playground_game(**env_config) -> EnvBundle:
         friction_range=tuple(rz.get("friction_range", (0.4, 3.0))),
         target_spd_range=tuple(rz.get("target_spd_range", (0.5, 3.0))),
         cmd_vary_freq_range=tuple(rz.get("cmd_vary_freq_range", (25, 200))),
+        # hard_contact=True steps the env on the impulse PGS plant
+        # (physics/impulse.py box rows) — the fidelity/eval mode
+        hard_contact=bool(env_config.get("hard_contact", False)),
     )
     return EnvBundle(
         name="playground",
