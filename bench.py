@@ -557,12 +557,23 @@ def main():
                              fused=fused)
     emit(name, ms_s)
     sweep_s = int(os.environ.get("BENCH_SWEEP_S", 16))
-    sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 4, 1024)))
+    # round-over-round row (pop 256/scenario, XLA tile path below the fused
+    # kernel's 1024 minimum) + the fused-kernel row at 4x the per-scenario
+    # population (2.3x better per unit work)
+    sweep_pop = int(os.environ.get("BENCH_SWEEP_POP", max(pop // 16, 128)))
     name, ms_w = bench_sweep(
         sweep_pop, horizon, substeps, reps, m_hi, mass_freeze, sweep_s,
-        fused=fused and sweep_pop % 128 == 0,
+        fused=fused,
     )
     emit(name, ms_w)
+    sweep_pop_f = int(os.environ.get("BENCH_SWEEP_POP_FUSED",
+                                     max(pop // 4, 1024)))
+    if fused and sweep_pop_f % 128 == 0 and sweep_pop_f != sweep_pop:
+        name, ms_wf = bench_sweep(
+            sweep_pop_f, horizon, substeps, reps, m_hi, mass_freeze, sweep_s,
+            fused=True,
+        )
+        emit(name, ms_wf)
     # The hybrid's value is SAMPLE efficiency: at large populations the MPPI
     # weighted u is already near-optimal, so the refinement row runs at a
     # quarter population where second-order polish visibly beats sampling
@@ -582,7 +593,9 @@ def main():
         "unit": "relative cost reduction vs MPPI seed",
         "vs_baseline": round(imp, 4),
     }), flush=True)
-    name, ms_i = bench_impulse(substeps, max(2, reps - 2), max(2, m_hi // 4))
+    # full reps/chain: at reps=2/M=2 the slope is RTT-noise-dominated
+    # (measured 5.9 ms vs 2.5 ms at reps=4/M=8 in the same session)
+    name, ms_i = bench_impulse(substeps, reps, m_hi)
     emit(name, ms_i)
     if int(os.environ.get("BENCH_SCALING", 1)):
         # weak-scaling proxy rows (virtual CPU mesh, own subprocess so the
