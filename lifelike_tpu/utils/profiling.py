@@ -31,20 +31,28 @@ import jax.numpy as jnp
 
 class ChipSpec(NamedTuple):
     name: str
-    peak_flops_f32: float  # FLOP/s
+    peak_flops_f32: float  # FLOP/s (MXU matmul peak)
     peak_flops_bf16: float
     hbm_bytes_per_s: float
     vmem_bytes: float
+    # ESTIMATED elementwise VPU throughput: (8, 128) vector lanes x ~4 ALU
+    # ops/cycle x clock, per TensorCore. The right roofline for scalar-heavy
+    # kernels (the physics has no matmuls, so the MXU peak is irrelevant).
+    vpu_flops: float = 4e12
 
 
 # Public per-chip peaks (jax-ml.github.io/scaling-book, Google Cloud TPU docs).
 CHIP_SPECS = {
-    "TPU v4": ChipSpec("TPU v4", 1.375e14, 2.75e14, 1.23e12, 128 * 2**20),
-    "TPU v5e": ChipSpec("TPU v5e", 0.985e14, 1.97e14, 8.1e11, 128 * 2**20),
-    "TPU v5p": ChipSpec("TPU v5p", 2.295e14, 4.59e14, 2.765e12, 128 * 2**20),
-    "TPU v6e": ChipSpec("TPU v6e", 4.585e14, 9.17e14, 1.64e12, 128 * 2**20),
+    "TPU v4": ChipSpec("TPU v4", 1.375e14, 2.75e14, 1.23e12, 128 * 2**20,
+                       4.3e12),
+    "TPU v5e": ChipSpec("TPU v5e", 0.985e14, 1.97e14, 8.1e11, 128 * 2**20,
+                        3.9e12),
+    "TPU v5p": ChipSpec("TPU v5p", 2.295e14, 4.59e14, 2.765e12, 128 * 2**20,
+                        7.3e12),
+    "TPU v6e": ChipSpec("TPU v6e", 4.585e14, 9.17e14, 1.64e12, 128 * 2**20,
+                        7.6e12),
 }
-_FALLBACK = ChipSpec("unknown", 1e12, 2e12, 1e11, 16 * 2**20)
+_FALLBACK = ChipSpec("unknown", 1e12, 2e12, 1e11, 16 * 2**20, 1e12)
 
 
 def detect_chip(device=None) -> ChipSpec:
@@ -53,9 +61,13 @@ def detect_chip(device=None) -> ChipSpec:
     kind = getattr(device, "device_kind", "") or ""
     if kind in CHIP_SPECS:
         return CHIP_SPECS[kind]
+    k = kind.lower()
+    # device_kind strings vary: 'TPU v5 lite' == v5e, 'TPU v5' == v5p
+    if "v5 lite" in k or "v5lite" in k or "v5e" in k:
+        return CHIP_SPECS["TPU v5e"]
     for name, spec in CHIP_SPECS.items():
         tail = name.split()[-1]  # 'v5e' etc.
-        if tail in kind.lower():
+        if tail in k:
             return spec
     return _FALLBACK._replace(name=kind or "unknown")
 

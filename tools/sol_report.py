@@ -91,18 +91,19 @@ def main():
     flops_lane = _lane_flops_per_control_step(sm, params)
     kernel_flops = flops_lane * pop * horizon
     spec = P.detect_chip()
-    # the physics is pure VPU elementwise work (no matmuls -> MXU idle);
-    # VPU f32 throughput ~= peak_flops_f32 / 2 on recent TPUs (the f32
-    # peak counts the MXU; public VPU specs put it at ~2-4% of MXU peak,
-    # but scalar-heavy kernels are bounded by issue rate, so report
-    # against BOTH the chip peak and a 1/8-peak VPU estimate)
+    # the physics is pure VPU elementwise work (no matmuls -> MXU idle):
+    # the honest roofline is the VPU's elementwise throughput, not the
+    # chip's matmul peak
     print("-- VPU arithmetic model (hand-counted from the scalar physics) --")
     print(f"   {flops_lane:,} scalar ops/lane/control-step; "
           f"{kernel_flops / 1e9:.1f} GFLOP per solve")
     print(f"   achieved {kernel_flops / dt / 1e12:.2f} TFLOP/s over "
-          f"{dt * 1e3:.2f} ms on {spec.name} "
-          f"(chip f32 peak {spec.peak_flops_f32 / 1e12:.0f} TFLOP/s incl. "
-          f"MXU; fraction {kernel_flops / dt / spec.peak_flops_f32:.3f})")
+          f"{dt * 1e3:.2f} ms on {spec.name}")
+    print(f"   = {kernel_flops / dt / spec.vpu_flops:.1%} of the ~"
+          f"{spec.vpu_flops / 1e12:.1f} TFLOP/s VPU elementwise peak "
+          f"(vs {kernel_flops / dt / spec.peak_flops_f32:.1%} of the "
+          f"{spec.peak_flops_f32 / 1e12:.0f} TFLOP/s MXU matmul peak, "
+          f"which this kernel cannot use)")
 
 
 def _lane_flops_per_control_step(sm, params):
