@@ -10,10 +10,12 @@ ops.rollout_pallas does for the flat PMC tracking solve:
 
   grid = population tiles of (bs_tile, 128) candidate controls;
   per program: state tile + (H, 4, 3, bs_tile, 128) control slice +
-  the (K, 8) box table + the (H, 64) packed gait reference; fori_loop
-  over the horizon; each step runs ops.scalar_phys.control_step with the
-  K-vectorized box contact (scalar_phys.box_forces) and accumulates the
-  joystick / average-speed traversal cost.
+  a scenario-blocked (1, K, 8) box table and (1, H, 64) packed gait
+  reference (randomized-arena sweeps map grid programs to per-scenario
+  blocks); fori_loop over the horizon; each step runs
+  ops.scalar_phys.control_step with the K-vectorized box contact
+  (scalar_phys.box_forces) and accumulates the joystick / average-speed
+  traversal cost. Chase and plan-rollout variants share the machinery.
 
 Reference behavior parity: the cost is rollout_tasks.rollout_traversal_gait
 (playground_env.py:479-539 negated rewards + posture/clearance shaping +
