@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--spd_cap", type=float, default=1.3)
+    ap.add_argument("--clip_rate", type=float, default=1.0,
+                    help="skill-clip playback rate (crawl cadence)")
     args = ap.parse_args()
 
     import json as _json
@@ -130,7 +132,9 @@ def main():
             else:
                 t_jump = max(me.JUMP_T0, t_jump - 0.06)
         else:
-            t_jump = me._advance_clip(t_jump, me.CLIP_LOOP)
+            t_jump += 0.02 * args.clip_rate
+            if t_jump > me.CLIP_LOOP[1]:
+                t_jump = me.CLIP_LOOP[0]
         if t % args.log_every == 0:
             p = np.asarray(s.robot.base_pos)
             v = np.asarray(s.robot.base_lin_vel)
