@@ -39,9 +39,12 @@ Timing method: the axon TPU tunnel adds a ~24 ms host<->device round trip to
 any synchronous call, and `block_until_ready` can ACK before device completion
 — so single-call wall times are meaningless here. We therefore time M
 data-dependent solves chained inside ONE jitted program (each solve warm-
-starts from the previous one, exactly the receding-horizon pattern) for two
-values of M and report the slope: pure per-solve device latency, RTT
-excluded. Override sizes with env vars BENCH_POP, BENCH_HORIZON,
+starts from the previous one, exactly the receding-horizon pattern) for
+THREE values of M and report the least-squares slope: pure per-solve device
+latency, RTT excluded (see _slope_ms — the round-4 two-point slope flipped
+sign on RTT jitter; the fit + positivity guard fixes that). Each program
+takes the trip count as a traced scalar, so all chain lengths share one
+compile. Override sizes with env vars BENCH_POP, BENCH_HORIZON,
 BENCH_SUBSTEPS, BENCH_REPS, BENCH_M.
 """
 import json
@@ -70,8 +73,21 @@ def _stand_state():
     )
 
 
-def _slope_ms(make_chained, args, reps, m_hi):
-    """Per-solve latency via the chained-M slope (RTT excluded)."""
+def _slope_ms(make_chained, args, reps, m_hi, _retry=True):
+    """Per-solve latency via a least-squares fit of wall time vs chain
+    length (RTT excluded).
+
+    Wall time at chain length M is t(M) ~= RTT + M * per_solve, so the
+    fitted slope is the pure per-solve device latency. Round-4 lesson: a
+    TWO-point slope at ~3 ms/solve flipped sign on a single ~20 ms
+    tunnel-RTT excursion and the driver recorded a negative headline
+    latency. Now: min-of-reps wall times at M in {1, m_hi, 4*m_hi},
+    least-squares slope over the three points, slope > 0 enforced with one
+    retry at doubled chain lengths, and the amortized upper bound
+    t(M_max)/M_max (positive by construction, RTT/M_max-inflated) as the
+    last resort. Every make_chained(M) shares ONE jitted program with a
+    traced trip count, so the extra fit point costs no extra compile.
+    """
 
     def wall_ms(f):
         r = f(*args)
@@ -84,9 +100,15 @@ def _slope_ms(make_chained, args, reps, m_hi):
             ts.append(time.perf_counter() - t_s)
         return float(np.min(ts) * 1e3)
 
-    w1 = wall_ms(make_chained(1))
-    wM = wall_ms(make_chained(m_hi))
-    return (wM - w1) / (m_hi - 1)
+    m_pts = sorted({1, m_hi, 4 * m_hi})
+    ws = [wall_ms(make_chained(m)) for m in m_pts]
+    slope = float(np.polyfit(m_pts, ws, 1)[0])
+    if slope <= 0.0:
+        if _retry:
+            return _slope_ms(make_chained, args, reps, 2 * m_hi,
+                             _retry=False)
+        slope = ws[-1] / m_pts[-1]
+    return slope
 
 
 def bench_pmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile):
@@ -116,31 +138,33 @@ def bench_pmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused, bs_tile):
 
         sm = scalar_phys.build_scalar_model(model)
 
-    def chained(M):
-        @jax.jit
-        def f(key, tl_state, u_warm, t0):
-            def body(uw, i):
-                k = jax.random.fold_in(key, i)
-                ref = rollout_tl.precompute_reference(
-                    model, clips, jnp.asarray(0), t0, horizon, policy_dt
-                )
-                rollout_fn = None
-                if fused:
-                    rollout_fn = lambda sk, uc: (
-                        rollout_pallas.rollout_tracking_fused(
-                            sm, params, sk, uc, ref, bs_tile=bs_tile
-                        )
+    @jax.jit
+    def f(key, tl_state, u_warm, t0, M):
+        def body(i, carry):
+            uw, _ = carry
+            k = jax.random.fold_in(key, i)
+            ref = rollout_tl.precompute_reference(
+                model, clips, jnp.asarray(0), t0, horizon, policy_dt
+            )
+            rollout_fn = None
+            if fused:
+                rollout_fn = lambda sk, uc: (
+                    rollout_pallas.rollout_tracking_fused(
+                        sm, params, sk, uc, ref, bs_tile=bs_tile
                     )
-                u_opt, diag = mppi_tl.mppi_step(
-                    c, params, cfg, k, tl_state, uw, ref,
-                    rollout_fn=rollout_fn,
                 )
-                return u_opt, diag["best_cost"]
+            u_opt, diag = mppi_tl.mppi_step(
+                c, params, cfg, k, tl_state, uw, ref,
+                rollout_fn=rollout_fn,
+            )
+            return u_opt, diag["best_cost"]
 
-            u_fin, costs = jax.lax.scan(body, u_warm, jnp.arange(M))
-            return u_fin, costs
+        return jax.lax.fori_loop(
+            0, M, body, (u_warm, jnp.asarray(0.0, jnp.float32))
+        )
 
-        return f
+    def chained(M):
+        return lambda *a: f(*a, jnp.asarray(M, jnp.int32))
 
     args = (
         jax.random.PRNGKey(0),
@@ -187,43 +211,44 @@ def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
 
         sm = scalar_phys.build_scalar_model(model)
 
-    def chained(M):
-        @jax.jit
-        def f(key, tl_state, u_warm, t0):
-            def body(carry, i):
-                uw, _ = carry
-                k = jax.random.fold_in(key, i)
-                ref = rollout_tl.precompute_reference(
-                    model, clips, jnp.asarray(0), t0, horizon, policy_dt
-                )
-                rollout_fn = None
-                if fused:
-                    rollout_fn = lambda sk, uc: (
-                        rollout_pallas.rollout_tracking_fused(
-                            sm, params, sk, uc, ref
-                        )
-                    )
-                u_opt, diag = mppi_tl.mppi_step(
-                    c, params, cfg, k, tl_state, uw, ref,
-                    rollout_fn=rollout_fn, return_topk=n_refine,
-                )
-                us = jnp.concatenate(
-                    [u_opt[None], diag["u_topk"]], axis=0
-                ).reshape(n_refine + 1, horizon, 12)
-                u_best, cost_best, info = hybrid.refine_candidates(
-                    model, params, clips, jnp.asarray(0), t0, state, us, icfg
-                )
-                imp = (info["initial_cost"][0] - cost_best) / jnp.maximum(
-                    info["initial_cost"][0], 1e-6
-                )
-                return (u_best.reshape(horizon, 4, 3), imp), cost_best
-
-            (u_fin, imp), costs = jax.lax.scan(
-                body, (u_warm, jnp.asarray(0.0, jnp.float32)), jnp.arange(M)
+    @jax.jit
+    def f(key, tl_state, u_warm, t0, M):
+        def body(i, carry):
+            uw, _, _ = carry
+            k = jax.random.fold_in(key, i)
+            ref = rollout_tl.precompute_reference(
+                model, clips, jnp.asarray(0), t0, horizon, policy_dt
             )
-            return u_fin, imp, costs
+            rollout_fn = None
+            if fused:
+                rollout_fn = lambda sk, uc: (
+                    rollout_pallas.rollout_tracking_fused(
+                        sm, params, sk, uc, ref
+                    )
+                )
+            u_opt, diag = mppi_tl.mppi_step(
+                c, params, cfg, k, tl_state, uw, ref,
+                rollout_fn=rollout_fn, return_topk=n_refine,
+            )
+            us = jnp.concatenate(
+                [u_opt[None], diag["u_topk"]], axis=0
+            ).reshape(n_refine + 1, horizon, 12)
+            u_best, cost_best, info = hybrid.refine_candidates(
+                model, params, clips, jnp.asarray(0), t0, state, us, icfg
+            )
+            imp = (info["initial_cost"][0] - cost_best) / jnp.maximum(
+                info["initial_cost"][0], 1e-6
+            )
+            return (u_best.reshape(horizon, 4, 3), imp, cost_best)
 
-        return f
+        return jax.lax.fori_loop(
+            0, M, body,
+            (u_warm, jnp.asarray(0.0, jnp.float32),
+             jnp.asarray(0.0, jnp.float32)),
+        )
+
+    def chained(M):
+        return lambda *a: f(*a, jnp.asarray(M, jnp.int32))
 
     args = (
         jax.random.PRNGKey(0),
@@ -232,7 +257,7 @@ def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
         jnp.asarray(0.5, jnp.float32),
     )
     ms = _slope_ms(chained, args, reps, m_hi)
-    imp = float(np.asarray(jax.jit(chained(4))(*args)[1]))
+    imp = float(np.asarray(chained(4)(*args)[1]))
     tag = "" if real else "_syn"
     return (
         f"hybrid_solve_latency_pop{pop}_H{horizon}_r{n_refine + 1}{tag}",
@@ -297,21 +322,23 @@ def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16,
             )
             return cost
 
+    @jax.jit
+    def f(key, tl_state, u_warm, M):
+        def body(i, carry):
+            uw, _ = carry
+            k = jax.random.fold_in(key, i)
+            u_opt, diag = mppi_tl.mppi_step(
+                c, params, cfg, k, tl_state, uw, ref=None,
+                rollout_fn=rollout_fn,
+            )
+            return u_opt, diag["best_cost"]
+
+        return jax.lax.fori_loop(
+            0, M, body, (u_warm, jnp.asarray(0.0, jnp.float32))
+        )
+
     def chained(M):
-        @jax.jit
-        def f(key, tl_state, u_warm):
-            def body(uw, i):
-                k = jax.random.fold_in(key, i)
-                u_opt, diag = mppi_tl.mppi_step(
-                    c, params, cfg, k, tl_state, uw, ref=None,
-                    rollout_fn=rollout_fn,
-                )
-                return u_opt, diag["best_cost"]
-
-            u_fin, costs = jax.lax.scan(body, u_warm, jnp.arange(M))
-            return u_fin, costs
-
-        return f
+        return lambda *a: f(*a, jnp.asarray(M, jnp.int32))
 
     args = (jax.random.PRNGKey(0), tl, jnp.zeros((horizon, 4, 3), jnp.float32))
     ms = _slope_ms(chained, args, reps, m_hi)
@@ -365,52 +392,53 @@ def bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze, fused=False):
             base_ang_vel=zH(3),
         )
 
-    def chained(M):
-        @jax.jit
-        def f(key, u0, u1):
-            def body(carry, i):
-                ua, ub = carry
-                k = jax.random.fold_in(key, i)
-                cost = 0.0
-                u = [ua, ub]
-                for r in (0, 1):
-                    if fused:
-                        opp = traversal_pallas.rollout_plan_fused(
-                            sm, params, states[1 - r], u[1 - r], btab, ref0
-                        )
-                    else:
-                        opp = rollout_tasks.rollout_plan(
-                            c, params, states[1 - r], u[1 - r], ts
-                        )
-
-                    if fused:
-                        def rollout_fn(state_k, u_cand, opp=opp, r=r):
-                            return traversal_pallas.rollout_chase_fused(
-                                sm, params, state_k, u_cand, btab, ref0,
-                                opp, flag,
-                                jnp.asarray(1.0 if r == 0 else 0.0,
-                                            jnp.float32),
-                                gait_weight=0.0,
-                            )
-                    else:
-                        def rollout_fn(state_k, u_cand, opp=opp, r=r):
-                            cc, _ = rollout_tasks.rollout_chase(
-                                c, params, state_k, u_cand, ts, opp, flag,
-                                r == 0
-                            )
-                            return cc
-
-                    u[r], diag = mppi_tl.mppi_step(
-                        c, params, cfg, jax.random.fold_in(k, r), states[r],
-                        u[r], ref=None, rollout_fn=rollout_fn,
+    @jax.jit
+    def f(key, u0, u1, M):
+        def body(i, carry):
+            ua, ub, _ = carry
+            k = jax.random.fold_in(key, i)
+            cost = 0.0
+            u = [ua, ub]
+            for r in (0, 1):
+                if fused:
+                    opp = traversal_pallas.rollout_plan_fused(
+                        sm, params, states[1 - r], u[1 - r], btab, ref0
                     )
-                    cost = cost + diag["best_cost"]
-                return (u[0], u[1]), cost
+                else:
+                    opp = rollout_tasks.rollout_plan(
+                        c, params, states[1 - r], u[1 - r], ts
+                    )
 
-            (ua, ub), costs = jax.lax.scan(body, (u0, u1), jnp.arange(M))
-            return ua, costs
+                if fused:
+                    def rollout_fn(state_k, u_cand, opp=opp, r=r):
+                        return traversal_pallas.rollout_chase_fused(
+                            sm, params, state_k, u_cand, btab, ref0,
+                            opp, flag,
+                            jnp.asarray(1.0 if r == 0 else 0.0,
+                                        jnp.float32),
+                            gait_weight=0.0,
+                        )
+                else:
+                    def rollout_fn(state_k, u_cand, opp=opp, r=r):
+                        cc, _ = rollout_tasks.rollout_chase(
+                            c, params, state_k, u_cand, ts, opp, flag,
+                            r == 0
+                        )
+                        return cc
 
-        return f
+                u[r], diag = mppi_tl.mppi_step(
+                    c, params, cfg, jax.random.fold_in(k, r), states[r],
+                    u[r], ref=None, rollout_fn=rollout_fn,
+                )
+                cost = cost + diag["best_cost"]
+            return (u[0], u[1], cost)
+
+        return jax.lax.fori_loop(
+            0, M, body, (u0, u1, jnp.asarray(0.0, jnp.float32))
+        )
+
+    def chained(M):
+        return lambda *a: f(*a, jnp.asarray(M, jnp.int32))
 
     z = jnp.zeros((horizon, 4, 3), jnp.float32)
     ms = _slope_ms(chained, (jax.random.PRNGKey(0), z, z), reps, m_hi)
@@ -494,15 +522,16 @@ def bench_impulse(substeps, reps, m_hi, batch=256):
     )
     lam = impulse.init_lam((batch,), jnp.float32)
 
+    @jax.jit
+    def f(s, lam, M):
+        def body(i, carry):
+            return impulse.control_step(model, p, carry[0], carry[1], stand)
+
+        s, lam = jax.lax.fori_loop(0, M, body, (s, lam))
+        return s.base_pos
+
     def chained(M):
-        @jax.jit
-        def f(s, lam):
-            def body(carry, _):
-                return impulse.control_step(model, p, carry[0], carry[1],
-                                            stand), None
-            (s, lam), _ = jax.lax.scan(body, (s, lam), None, length=M)
-            return s.base_pos
-        return f
+        return lambda *a: f(*a, jnp.asarray(M, jnp.int32))
 
     ms = _slope_ms(chained, (s, lam), reps, m_hi)
     return f"impulse_ctrl_step_latency_B{batch}_sub{substeps}", ms
@@ -520,6 +549,12 @@ def main():
     all_rows = bool(int(os.environ.get("BENCH_ALL", 1)))
 
     def emit(metric, ms):
+        if not ms > 0.0:
+            # never record a nonsense latency as the official number
+            # (round-4 driver capture was -2.97 ms from a jittered slope)
+            raise SystemExit(
+                f"refusing to emit non-positive latency {ms} for {metric}"
+            )
         print(json.dumps({
             "metric": metric,
             "value": round(ms, 3),
@@ -568,7 +603,8 @@ def main():
     emit(name, ms_w)
     sweep_pop_f = int(os.environ.get("BENCH_SWEEP_POP_FUSED",
                                      max(pop // 4, 1024)))
-    if fused and sweep_pop_f % 128 == 0 and sweep_pop_f != sweep_pop:
+    if (fused and sweep_pop_f >= 128 and sweep_pop_f % 128 == 0
+            and sweep_pop_f != sweep_pop):
         name, ms_wf = bench_sweep(
             sweep_pop_f, horizon, substeps, reps, m_hi, mass_freeze, sweep_s,
             fused=True,
