@@ -38,6 +38,13 @@ flags.DEFINE_string("init_model_subtree", "params/llc",
 flags.DEFINE_bool("freeze_init_subtree", True, "freeze loaded subtrees")
 flags.DEFINE_integer("seed", 0, "prng seed")
 flags.DEFINE_bool("cpu", False, "force CPU backend (debug)")
+flags.DEFINE_string(
+    "matmul_precision", "highest",
+    "jax_default_matmul_precision for training. TPU defaults to bfloat16 "
+    "matmuls, which destabilize the in-rollout physics (measured: penalty-"
+    "contact blowups within 5 updates at 256 envs); training is physics-"
+    "accuracy-bound and the policy nets are tiny, so f32 costs ~23%% "
+    "throughput for sane numerics. Set '' to keep the backend default.")
 # Multi-host (reference run_pg_learner.py:76-85 Horovod ranks -> one SPMD
 # program over jax.distributed; see parallel/distributed.py). Flags default
 # to the LIFELIKE_* env contract set by tools/launch_multihost.py.
@@ -73,9 +80,17 @@ def _fit_burn_in(cfg):
     return cfg
 
 
-def _make_ckpt(registry):
+def _make_ckpt(registry, mesh=None):
+    """Single-process: one pickle file. Multi-process: per-rank shard files
+    re-placed onto the global mesh at restore (registry.
+    ShardedTrainCheckpoint) — the regime where preemption recovery actually
+    matters. League/PFSP bookkeeping is persisted separately by
+    league.checkpoint(); after a resume the opponent rotation restarts from
+    the deterministic seed, which every rank replays identically."""
     if not FLAGS.train_checkpoint:
         return None
+    if mesh is not None:
+        return registry.ShardedTrainCheckpoint(FLAGS.train_checkpoint, mesh)
     return registry.TrainCheckpoint(FLAGS.train_checkpoint)
 
 
@@ -108,6 +123,9 @@ def main(argv):
     )
     if FLAGS.cpu and not multi:
         jax.config.update("jax_platforms", "cpu")
+    if FLAGS.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          FLAGS.matmul_precision)
     import optax
 
     from lifelike_tpu.envs import factory
@@ -174,9 +192,7 @@ def main(argv):
                 params, opt_state, env_state, key, clip_probs=clip_probs,
             )
 
-        ckpt = _make_ckpt(registry) if nproc == 1 else None
-        if nproc > 1 and FLAGS.train_checkpoint:
-            logging.warning("train_checkpoint disabled under multi-process")
+        ckpt = _make_ckpt(registry, mesh if nproc > 1 else None)
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state, env_state=env_state
         )
@@ -257,9 +273,7 @@ def main(argv):
                 params, opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
-        ckpt = _make_ckpt(registry) if nproc == 1 else None
-        if nproc > 1 and FLAGS.train_checkpoint:
-            logging.warning("train_checkpoint disabled under multi-process")
+        ckpt = _make_ckpt(registry, mesh)
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,
@@ -355,9 +369,7 @@ def main(argv):
                 opt_state, env_state, obs, hs, prev_done, replay, key,
             )
 
-        ckpt = _make_ckpt(registry) if nproc == 1 else None
-        if nproc > 1 and FLAGS.train_checkpoint:
-            logging.warning("train_checkpoint disabled under multi-process")
+        ckpt = _make_ckpt(registry, mesh)
         start, key, live = _resume(
             ckpt, key, params=params, opt_state=opt_state,
             env_state=env_state, obs=obs, hs=hs, prev_done=prev_done,

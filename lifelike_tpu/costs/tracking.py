@@ -100,3 +100,24 @@ def divergence_terminated(state: RobotState, ref):
     pos_err = jnp.sum((state.base_pos - ref.base_pos) ** 2, axis=-1)
     angle = jnp.linalg.norm(quat.diff_rotvec(ref.base_orn, state.base_orn), axis=-1)
     return (pos_err > 1.0) | (jnp.abs(angle) > 1.0)
+
+
+def blown_up(state: RobotState):
+    """Integrator-blowup guard: non-finite state or velocities beyond any
+    physical bound (1e3 m/s | rad/s).
+
+    NaN compares False in every other termination predicate, so a penalty-
+    contact blowup under a random exploring policy would otherwise NEVER
+    terminate — and a single diverged env poisons a whole (T, B) PPO batch
+    with NaN rewards (observed at 256 envs x 128 steps within 5 updates).
+    The reference plant cannot reach this state (Bullet's LCP solver is
+    unconditionally dissipative at contacts); the explicit compliant
+    sampling path can, so the env terminates such rows and the autoreset
+    wrapper re-initializes them."""
+    bad = jnp.zeros(state.base_pos.shape[:-1], bool)
+    for leaf in (state.base_pos, state.base_orn, state.base_lin_vel,
+                 state.base_ang_vel, state.joint_pos, state.joint_vel):
+        bad = bad | ~jnp.all(jnp.isfinite(leaf), axis=-1)
+    for vel in (state.base_lin_vel, state.base_ang_vel, state.joint_vel):
+        bad = bad | (jnp.max(jnp.abs(vel), axis=-1) > 1e3)
+    return bad

@@ -398,7 +398,10 @@ def step(model, cfg: ChaseTagConfig, s: ChaseTagState, actions, key):
     timeout = counter >= cfg.max_steps
     # catch = robot 0's leg/wheel links touching the other robot (:426-456)
     contact = _link_catch(model, robots)
-    done = fall0 | timeout | contact
+    # integrator-blowup guard over EITHER robot (costs/tracking.blown_up:
+    # NaN states compare False in fall0/contact and would never terminate)
+    blown = jnp.any(tracking.blown_up(robots), axis=-1)
+    done = fall0 | timeout | contact | blown
 
     # terminal +-1: chaser catches (:412-419)
     chaser_sign = jnp.where(with_flag, 1.0, -1.0)

@@ -250,7 +250,8 @@ def step(model: MaxModel, cfg: PlaygroundConfig, s: PlaygroundState, action, key
     fall = tracking.fall_terminated(robot)
     timeout = counter >= cfg.max_steps
     reached = pos_diff < 0.5
-    done = fall | timeout | reached
+    blown = tracking.blown_up(robot)
+    done = fall | timeout | reached | blown
 
     inv_max = 1.0 / float(cfg.max_steps)
     if cfg.reward_type == "joystick":

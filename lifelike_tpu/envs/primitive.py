@@ -147,7 +147,11 @@ def step(model, clips, cfg: PrimitiveEnvConfig, env: PrimitiveEnvState, action,
     fall = tracking.fall_terminated(robot)
     ended = motion_lib.is_ended(clips, env.clip_idx, t)
     diverged = tracking.divergence_terminated(robot, ref)
-    done = fall | ended | diverged
+    blown = tracking.blown_up(robot)
+    done = fall | ended | diverged | blown
+    # a blown-up row's reward is NaN/garbage; zero it so the (T, B) PPO
+    # batch stays finite (the row resets via step_autoreset)
+    reward = jnp.where(blown, jnp.zeros_like(reward), reward)
     if cfg.set_obstacle and obstacles is not None:
         oxy, oyaw, oactive = motion_lib.current_obstacle(obstacles, env.clip_idx, t)
         pts = jnp.concatenate([kin.p_foot, robot.base_pos[..., None, :]], axis=-2)

@@ -106,6 +106,128 @@ class TrainCheckpoint:
             return pickle.load(f)
 
 
+class ShardedTrainCheckpoint:
+    """Multi-process TrainCheckpoint: per-rank shard files + a commit marker.
+
+    The reference's recoverable-training story saves the league from one
+    process (example_pmc_train.sh:101-104); under SPMD the learner state is
+    a mix of fully-replicated leaves (params, optimizer state) and
+    process-sharded leaves (env state on the batch axis, replay windows on
+    their slot axis), so one file cannot hold it. Scheme:
+
+      path.r{rank}  every rank: for each leaf, its PROCESS-LOCAL block
+                    (addressable shards concatenated along the sharded
+                    axis) + the leaf's PartitionSpec and global shape.
+                    Replicated leaves are stored by rank 0 only.
+      path.step     rank 0, AFTER a cross-process barrier: the committed
+                    step. A crash mid-save leaves rank files from a newer
+                    step than the marker; load() rejects the mismatch and
+                    resumes from nothing rather than mixed state.
+
+    Restore re-places every leaf onto the SAME global mesh with
+    jax.make_array_from_process_local_data, so load() hands back global
+    jax.Arrays ready for the jitted step. Requires a filesystem shared by
+    all ranks (the reference's league dir makes the same assumption).
+    """
+
+    def __init__(self, path: str, mesh):
+        self.path = path
+        self.mesh = mesh
+
+    def _rank_path(self, rank):
+        return f"{self.path}.r{rank}"
+
+    @staticmethod
+    def _local_block(x):
+        """(local_numpy_or_None, spec, global_shape) for one global array."""
+        import jax.sharding as jsh
+
+        if not hasattr(x, "sharding") or not isinstance(
+            getattr(x, "sharding", None), jsh.NamedSharding
+        ):
+            return np.asarray(x), None, np.shape(x)
+        spec = tuple(x.sharding.spec)
+        axis = next(
+            (i for i, p in enumerate(spec) if p is not None), None
+        )
+        shards = list(x.addressable_shards)
+        if axis is None:  # fully replicated
+            if jax.process_index() != 0:
+                return None, spec, tuple(x.shape)
+            return np.asarray(shards[0].data), spec, tuple(x.shape)
+        shards.sort(key=lambda s: s.index[axis].start or 0)
+        seen, blocks = set(), []
+        for s in shards:
+            start = s.index[axis].start or 0
+            if start not in seen:  # a block can replicate across local devices
+                seen.add(start)
+                blocks.append(np.asarray(s.data))
+        return np.concatenate(blocks, axis=axis), spec, tuple(x.shape)
+
+    def save(self, step: int, **trees):
+        from jax.experimental import multihost_utils
+
+        rank = jax.process_index()
+        packed = {
+            name: jax.tree.map(
+                lambda x: self._local_block(x), tree, is_leaf=None
+            )
+            for name, tree in trees.items()
+        }
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        tmp = self._rank_path(rank) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"step": int(step), "trees": packed}, f)
+        os.replace(tmp, self._rank_path(rank))
+        multihost_utils.sync_global_devices(f"ckpt_save_{step}")
+        if rank == 0:
+            tmp = self.path + ".step.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(int(step)))
+            os.replace(tmp, self.path + ".step")
+
+    def load(self) -> Optional[dict]:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rank = jax.process_index()
+        marker = self.path + ".step"
+        if not (os.path.exists(marker) and os.path.exists(self._rank_path(rank))):
+            return None
+        with open(marker) as f:
+            committed = int(f.read().strip())
+        with open(self._rank_path(rank), "rb") as f:
+            mine = pickle.load(f)
+        if mine["step"] != committed:
+            return None  # crashed mid-save: refuse mixed-step state
+        if rank == 0:
+            r0 = mine
+        else:
+            with open(self._rank_path(0), "rb") as f:
+                r0 = pickle.load(f)
+            if r0["step"] != committed:
+                return None
+
+        def place(blk, blk0):
+            local, spec, gshape = blk
+            if spec is None:
+                return local
+            if local is None:  # replicated leaf: rank 0's copy
+                local = blk0[0]
+            sh = NamedSharding(self.mesh, PartitionSpec(*spec))
+            return jax.make_array_from_process_local_data(sh, local, gshape)
+
+        trees = {
+            name: jax.tree.map(
+                place, mine["trees"][name], r0["trees"][name],
+                is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3
+                and (x[0] is None or isinstance(x[0], np.ndarray)),
+            )
+            for name in mine["trees"]
+        }
+        return {"step": committed, "trees": trees}
+
+
 class LeagueManager:
     """Population of frozen models + PFSP match-making + win statistics."""
 

@@ -49,6 +49,41 @@ def test_two_process_sepmc_learner():
     _run_learner_2proc("sepmc", ("--update_opponent_freq=1",))
 
 
+def test_two_process_kill_and_resume(tmp_path):
+    """Multi-process TrainCheckpoint: per-rank shard files + commit marker
+    (registry.ShardedTrainCheckpoint). Run 1 trains 2 updates and saves
+    every update; run 2 (the 'restarted pod') must resume at update 2 and
+    finish 4, with both ranks reporting identical post-resume losses."""
+    ckpt = str(tmp_path / "train.ckpt")
+
+    def run(total):
+        cmd = [sys.executable,
+               os.path.join(REPO, "tools", "launch_multihost.py"),
+               "-n", "2", "--devices", "2", "--",
+               sys.executable, "-m", "lifelike_tpu.bin.run_learner",
+               "--task=pmc", "--cpu", "--num_envs=8",
+               f"--total_updates={total}", "--log_interval=1",
+               "--learner_config={'unroll_length': 4}",
+               f"--train_checkpoint={ckpt}", "--save_interval=1"]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=900, cwd=REPO)
+        assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+        return out.stdout + out.stderr
+
+    logs = run(2)
+    assert logs.count("done: 2 updates") == 2, logs[-2000:]
+    assert os.path.exists(ckpt + ".r0") and os.path.exists(ckpt + ".r1")
+    with open(ckpt + ".step") as f:
+        assert int(f.read()) == 1
+
+    logs = run(4)
+    assert logs.count("at update 2") == 2, logs[-2000:]
+    assert logs.count("done: 4 updates") == 2, logs[-2000:]
+    losses = {ln.split("'loss': ")[1].split(",")[0]
+              for ln in logs.splitlines() if "update 3: {" in ln}
+    assert len(losses) == 1, losses
+
+
 def test_two_process_pod_solve_and_train():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "launch_multihost.py"),

@@ -44,6 +44,20 @@ def _setup(H=3, Bs=8, substeps=2, mass_freeze=1):
     return c, params, tl, u, ref
 
 
+def test_fused_matches_scan_small():
+    """Fast-suite guard on the fused product path: tiny shapes (H=2,
+    substeps=1) keep the CPU interpret-mode kernel under ~40 s while still
+    exercising the full fused rollout (PD, integration, contact, cost)."""
+    c, params, tl, u, ref = _setup(H=2, Bs=8, substeps=1, mass_freeze=1)
+    want, _ = jax.jit(
+        lambda s, u: rollout_tl.rollout_tracking(c, params, s, u, ref)
+    )(tl, u)
+    got = rollout_pallas.rollout_tracking_fused(MODEL, params, tl, u, ref)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.slow
 def test_fused_matches_scan_exact():
     c, params, tl, u, ref = _setup(mass_freeze=1)

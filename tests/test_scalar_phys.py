@@ -29,10 +29,10 @@ def realistic_states():
     return B.tl_from_state(s, batch2d=(1, 2)), stand
 
 
-def _compare(mass_freeze, steps, tol):
+def _compare(mass_freeze, steps, tol, substeps=5):
     tl, stand = realistic_states()
     c = B.tl_constants(MODEL, dtype=tl.base_pos.dtype)
-    params = engine.PhysicsParams(substeps=5, mass_freeze=mass_freeze)
+    params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
     tgt_tl = jnp.broadcast_to(
         jnp.asarray(stand.reshape(4, 3, 1, 1), tl.base_pos.dtype), (4, 3, 1, 2)
     )
@@ -51,6 +51,13 @@ def _compare(mass_freeze, steps, tol):
     for name in a._fields:
         va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         np.testing.assert_allclose(vb, va, rtol=tol, atol=tol, err_msg=name)
+
+
+def test_scalar_matches_oracle_small():
+    """Fast-suite guard: one substep / one step keeps the scalar-program
+    compile under ~20 s while pinning the same algebra the fused kernels
+    consume (scalar_phys is their physics front-end)."""
+    _compare(mass_freeze=1, steps=1, tol=5e-4, substeps=1)
 
 
 @pytest.mark.slow
