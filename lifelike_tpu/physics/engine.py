@@ -63,6 +63,21 @@ _TRUNK_OFFSETS = np.array(
      [0.0, -0.05, 0.0], [0.0, 0.05, 0.0],
      [0.12, -0.05, 0.0], [0.12, 0.05, 0.0]], np.float32
 )
+# Hard-plant (physics/impulse.py) trunk coverage: a DENSER 5x3 grid of the
+# same r=0.07 spheres. Bullet collides the full trunk collision box
+# (reference legged_robot.py:207-264 loads max.urdf collision geometry); the
+# 3x2 proxy leaves ~3 cm-deep valleys between spheres where a hole bar's
+# lower edge catches during a crawl-under and trips the robot (round-4
+# EVAL.md: the imported hole model falls at the FIRST bar on the hard
+# plant). At 0.06/0.05 m spacing the worst-case (diagonal) valley is
+# ~1.1 cm — below the erp-recoverable penetration — so the effective top
+# surface is flat to a bar sliding across it. The compliant sampling path
+# keeps the cheaper 3x2 proxy (15 spheres would cost every MPPI rollout).
+_TRUNK_OFFSETS_HARD = np.array(
+    [[x, y, 0.0]
+     for x in (-0.12, -0.06, 0.0, 0.06, 0.12)
+     for y in (-0.05, 0.0, 0.05)], np.float32
+)
 
 
 def pd_torques(model, params: PhysicsParams, joint_pos, joint_vel, target_q):

@@ -28,7 +28,7 @@ mode cannot meet.
 
 Scenes: the flat-ground system (60 rows) is the PMC fidelity setting; passing
 a scene.boxes.BoxScene adds one deepest-box contact row-triple per sphere —
-feet, wheels, AND the six trunk proxy spheres — covering the EPMC/SEPMC box
+feet, wheels, AND the dense 5x3 trunk proxy grid — covering the EPMC/SEPMC box
 worlds (hurdle/hole-bar/cube faces, corridor walls; reference
 bullet_static_entities.py:310-500 geometry, resolved by the same Bullet hard
 solver per legged_robot.py:260-264). tools/bullet_oracle.py builds the
@@ -48,14 +48,17 @@ from lifelike_tpu.physics.dynamics import RobotState
 
 NV = 18  # 3 ang + 3 lin + 12 joints (generalized velocity [w, v_origin, qd])
 N_SPHERES = 8  # 4 feet (link 2) + 4 wheels (link 1)
-N_TRUNK = 6  # trunk proxy spheres (engine._TRUNK_OFFSETS), box contact only
+# trunk proxy spheres, box contact only: the hard plant uses the DENSE 5x3
+# grid (engine._TRUNK_OFFSETS_HARD) — Bullet collides the full trunk box and
+# the sparse 3x2 proxy's inter-sphere valleys caught hole-bar edges
+N_TRUNK = 15
 N_BOX_SPHERES = N_SPHERES + N_TRUNK  # feet + wheels + trunk vs boxes
 N_CONTACT_ROWS = 3 * N_SPHERES  # normal, tangent-x, tangent-y per sphere
 N_JOINT_ROWS = 3 * 12  # friction, lower-limit, upper-limit per joint
 N_ROWS = N_CONTACT_ROWS + N_JOINT_ROWS  # 60 (flat-ground system)
 # box-scene system: plane rows, then one deepest-box contact per sphere
 # (Bullet's sphere-box manifold is a single point), then joint rows
-N_ROWS_BOX = N_CONTACT_ROWS + 3 * N_BOX_SPHERES + N_JOINT_ROWS  # 102
+N_ROWS_BOX = N_CONTACT_ROWS + 3 * N_BOX_SPHERES + N_JOINT_ROWS  # 129
 
 
 def _mu_idx(with_boxes: bool) -> np.ndarray:
@@ -168,10 +171,10 @@ def _box_rows(model, p: ImpulseParams, state: RobotState, kin, Jf, Jw, scene):
 
     Bullet's sphere-box collision emits a single manifold point; the deepest
     active box per sphere reproduces that. Returns (J (..., 42, 18), b, lo,
-    hi (..., 42)) in the fixed order feet 0-3, wheels 0-3, trunk 0-5 — the
+    hi (..., 69)) in the fixed order feet 0-3, wheels 0-3, trunk 0-14 — the
     SAME order tools/bullet_oracle.py appends its box rows.
     """
-    from lifelike_tpu.physics.engine import _TRUNK_OFFSETS, _TRUNK_RADIUS
+    from lifelike_tpu.physics.engine import _TRUNK_OFFSETS_HARD, _TRUNK_RADIUS
 
     dtype = state.base_pos.dtype
     dt = p.dt
@@ -180,7 +183,7 @@ def _box_rows(model, p: ImpulseParams, state: RobotState, kin, Jf, Jw, scene):
 
     # trunk spheres: world positions + base-attached point Jacobians
     R = quat.to_matrix(state.base_orn)  # (..., 3, 3)
-    offs = jnp.asarray(_TRUNK_OFFSETS, dtype)  # (6, 3)
+    offs = jnp.asarray(_TRUNK_OFFSETS_HARD, dtype)  # (15, 3)
     offs_w = jnp.einsum("...ij,pj->...pi", R, offs)  # (..., 6, 3)
     p_tr = state.base_pos[..., None, :] + offs_w
     J_ang = -skew(offs_w)  # p - base == offs_w

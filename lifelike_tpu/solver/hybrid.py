@@ -25,27 +25,40 @@ from lifelike_tpu.solver.mppi import MPPIConfig
 
 
 def refine_with_problem(step_fn, cost_fn, robot_state, us, icfg: ILQRConfig,
-                        use_pallas=True):
+                        use_pallas=True, lin_step_fn=None):
     """Batched iLQR polish of S candidate sequences from one state, under an
     arbitrary (step_fn, cost_fn) problem (tracking / traversal / chase).
 
     robot_state: unbatched RobotState; us: (S, H, 12) joint-target deltas.
-    Returns (u_best (H, 12), cost_best, info with initial_cost/final_cost
-    (S,) arrays)."""
+    lin_step_fn: optional coarse surrogate plant for the A/B Jacobians
+    (ILQRConfig.lin_substeps). Returns (u_best (H, 12), cost_best, info
+    with initial_cost/final_cost (S,) arrays)."""
     S = us.shape[0]
     x0 = jnp.broadcast_to(ilqr.flatten_state(robot_state), (S, ilqr.STATE_DIM))
     u_ref, info = ilqr.ilqr_solve_batch(step_fn, cost_fn, x0, us, icfg,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        lin_step_fn=lin_step_fn)
     best = jnp.argmin(info["final_cost"])
     return u_ref[best], info["final_cost"][best], info
+
+
+def _lin_params(params, icfg: ILQRConfig):
+    """Coarse-linearization plant when ILQRConfig asks for one."""
+    if icfg.lin_substeps and icfg.lin_substeps < params.substeps:
+        return ilqr.coarse_lin_params(params, icfg.lin_substeps)
+    return None
 
 
 def refine_candidates(model, params, clips, clip_idx, t0, robot_state, us,
                       icfg: ILQRConfig, use_pallas=True):
     """PMC tracking refinement (see refine_with_problem)."""
     step_fn, cost_fn = ilqr.make_problem(model, params, clips, clip_idx, t0)
+    lp = _lin_params(params, icfg)
+    lin_step_fn = (
+        ilqr.make_problem(model, lp, clips, clip_idx, t0)[0] if lp else None
+    )
     return refine_with_problem(step_fn, cost_fn, robot_state, us, icfg,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, lin_step_fn=lin_step_fn)
 
 
 def make_hybrid_controller(model, c, params, clips, cfg: MPPIConfig,
@@ -149,8 +162,13 @@ def make_hybrid_traversal_controller(model, c, params, cfg: MPPIConfig,
         step_fn, cost_fn = ilqr.make_traversal_problem(
             model, params, sub, target_pos, target_spd, robot_state.joint_pos
         )
+        lp = _lin_params(params, icfg)
+        lin_step_fn = ilqr.make_traversal_problem(
+            model, lp, sub, target_pos, target_spd, robot_state.joint_pos
+        )[0] if lp else None
         u_best, cost_best, info = refine_with_problem(
-            step_fn, cost_fn, robot_state, us, icfg, use_pallas=use_pallas
+            step_fn, cost_fn, robot_state, us, icfg, use_pallas=use_pallas,
+            lin_step_fn=lin_step_fn,
         )
         u_best = u_best.reshape(cfg.horizon, 4, 3)
         diag["refined_cost"] = cost_best
@@ -212,8 +230,14 @@ def make_hybrid_chase_solver(model, c, params, cfg: MPPIConfig,
                     model, params, scene, opp_traj[:, :, 0, 0], flag_pos,
                     with_flag[i], rss[i].joint_pos,
                 )
+                lp = _lin_params(params, icfg)
+                lin_step_fn = ilqr.make_chase_problem(
+                    model, lp, scene, opp_traj[:, :, 0, 0], flag_pos,
+                    with_flag[i], rss[i].joint_pos,
+                )[0] if lp else None
                 u_best, cost_best, info = refine_with_problem(
-                    step_fn, cost_fn, rss[i], us, icfg, use_pallas=use_pallas
+                    step_fn, cost_fn, rss[i], us, icfg,
+                    use_pallas=use_pallas, lin_step_fn=lin_step_fn,
                 )
                 u[i] = u_best.reshape(cfg.horizon, 4, 3)
                 diag.update({f"{k_}_{i}": v_ for k_, v_ in d.items()})

@@ -41,6 +41,16 @@ class ILQRConfig(NamedTuple):
     reg_up: float = 10.0
     reg_min: float = 1e-4
     reg_max: float = 1e2
+    # Linearization plant coarseness: the A/B Jacobians come from jacfwd
+    # through a SURROGATE control step that integrates the same 20 ms with
+    # `lin_substeps` coarse substeps and a once-per-step mass factorization,
+    # instead of through all params.substeps (10) exact substeps — a 5x cut
+    # in the dominant linearize() cost. The quadratic cost model stays
+    # exact, and the line search always rolls the TRUE dynamics, so an
+    # approximate Jacobian costs accuracy of the proposed step, never
+    # feasibility; the LM schedule absorbs the difference (measured: cost
+    # improvement preserved, see tests/test_ilqr.py). 0 = exact plant.
+    lin_substeps: int = 2
 
 
 def flatten_state(s: RobotState):
@@ -61,6 +71,14 @@ def unflatten_state(x):
         joint_pos=x[..., 13:25],
         joint_vel=x[..., 25:37],
     )
+
+
+def coarse_lin_params(params: engine.PhysicsParams, lin_substeps: int):
+    """Surrogate plant for Jacobians: the same policy-step duration
+    integrated in `lin_substeps` coarse substeps (see ILQRConfig.
+    lin_substeps). Never used to roll dynamics forward — only under jacfwd."""
+    total = params.dt * params.substeps
+    return params._replace(dt=total / lin_substeps, substeps=lin_substeps)
 
 
 def make_problem(model, params: engine.PhysicsParams, clips, clip_idx, t0,
@@ -276,18 +294,23 @@ def make_chase_problem(model, params: engine.PhysicsParams, scene, opp_traj,
 # ---------------------------------------------------------------------------
 
 
-def linearize(step_fn, cost_fn, xs, us):
+def linearize(step_fn, cost_fn, xs, us, lin_step_fn=None):
     """Jacobians and cost quadratics along batched trajectories.
 
     xs: (S, H, n) pre-step states, us: (S, H, m). Returns
-    (A (S,H,n,n), B (S,H,n,m), cx, cu, Cxx, Cuu)."""
+    (A (S,H,n,n), B (S,H,n,m), cx, cu, Cxx, Cuu).
+
+    lin_step_fn: optional cheaper surrogate plant for the A/B Jacobians
+    (ILQRConfig.lin_substeps) — cost quadratics always come from the exact
+    cost_fn, and the caller's line search rolls the TRUE step_fn."""
     H = us.shape[1]
     ts = jnp.arange(H, dtype=xs.dtype)
+    jac_step = lin_step_fn or step_fn
 
     def at_point(x, u, t):
         return (
-            jax.jacfwd(step_fn, argnums=0)(x, u, t),
-            jax.jacfwd(step_fn, argnums=1)(x, u, t),
+            jax.jacfwd(jac_step, argnums=0)(x, u, t),
+            jax.jacfwd(jac_step, argnums=1)(x, u, t),
             jax.grad(cost_fn, argnums=0)(x, u, t),
             jax.grad(cost_fn, argnums=1)(x, u, t),
             jax.hessian(cost_fn, argnums=0)(x, u, t),
@@ -299,7 +322,8 @@ def linearize(step_fn, cost_fn, xs, us):
 
 
 def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
-                     cfg: ILQRConfig = ILQRConfig(), use_pallas=True):
+                     cfg: ILQRConfig = ILQRConfig(), use_pallas=True,
+                     lin_step_fn=None):
     """Refine S control sequences together. x0: (S, n), u_init: (S, H, m).
 
     Per iteration: batched linearization, one Riccati sweep over all
@@ -318,7 +342,8 @@ def ilqr_solve_batch(step_fn, cost_fn, x0, u_init,
 
     def one_iteration(carry, _):
         us, xs, best_cost, reg_s = carry
-        A, Bm, cx, cu, Cxx, Cuu = linearize(step_fn, cost_fn, xs, us)
+        A, Bm, cx, cu, Cxx, Cuu = linearize(step_fn, cost_fn, xs, us,
+                                            lin_step_fn)
         # fold the per-scenario LM damping into Cuu (reg only ever enters
         # the recursion through Quu = Cuu + B'VB + reg*I)
         m = Cuu.shape[-1]

@@ -357,13 +357,15 @@ class BulletOracle:
         if self.boxes is not None:
             # deepest-box contact per sphere (Bullet's sphere-box manifold is
             # a single point): feet 0-3, wheels 0-3, then the trunk proxy
-            # spheres (3x2 grid, r=0.07 — the engine's trunk collision spec)
+            # spheres (DENSE 5x3 grid, r=0.07 — the hard plant's trunk
+            # collision spec, engine._TRUNK_OFFSETS_HARD; re-typed here
+            # because the oracle stays import-independent of the engine)
             # — SAME row order as physics.impulse._box_rows.
             Rb = kin.R_base
             trunk_offs = np.array(
-                [[-0.12, -0.05, 0.0], [-0.12, 0.05, 0.0],
-                 [0.0, -0.05, 0.0], [0.0, 0.05, 0.0],
-                 [0.12, -0.05, 0.0], [0.12, 0.05, 0.0]]
+                [[x, y, 0.0]
+                 for x in (-0.12, -0.06, 0.0, 0.06, 0.12)
+                 for y in (-0.05, 0.0, 0.05)]
             )
             box_spheres = (
                 [("bf", l, ("leg", l, 2), kin.p_foot[l], m.foot_radius)
@@ -371,7 +373,7 @@ class BulletOracle:
                 + [("bw", l, ("leg", l, 1), kin.p_wheel[l], m.wheel_radius)
                    for l in range(4)]
                 + [("bt", i, ("base",), s.base_pos + Rb @ trunk_offs[i], 0.07)
-                   for i in range(6)]
+                   for i in range(len(trunk_offs))]
             )
             centers, halves = self.boxes
             for tag, idx, attach, pt, radius in box_spheres:

@@ -40,30 +40,16 @@ def main():
                     help="skill-clip playback rate (crawl cadence)")
     args = ap.parse_args()
 
-    import json as _json
-
     from lifelike_tpu.envs import playground
-    from lifelike_tpu.motion import motion_lib
     from lifelike_tpu.physics import batched as B
     from lifelike_tpu.robot.model import build_max_model
     from lifelike_tpu.scene import playground_gen
     from lifelike_tpu.solver import mpc_tasks
     from lifelike_tpu.solver.mppi import MPPIConfig
-    from lifelike_tpu.costs.traversal import TraversalWeights
 
     element_id = args.element
     model = build_max_model()
-    walk_fr = np.asarray(_json.load(open(me.WALK_CLIP))["Frames"], np.float32)
-    jump_fr = np.asarray(_json.load(open(me.JUMP_CLIP))["Frames"], np.float32)
-    crouch_fr = motion_lib.crouch_variant(
-        walk_fr, hip_delta=0.4, knee_delta=1.1,
-        joint_lower=model.joint_lower, joint_upper=model.joint_upper
-    )
-    climb_fr = motion_lib.highstep_variant(
-        walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
-    )
-    clips = motion_lib.pack_clips([walk_fr, jump_fr, crouch_fr, climb_fr],
-                                  frame_step=1.0 / 120.0)
+    clips, priors, skill = me.build_prior_bank(model, element_id)
     cfg = playground.PlaygroundConfig(
         scene=playground_gen.PlaygroundConfig(element_id=element_id),
         friction_range=(0.4, 1.0),
@@ -71,17 +57,6 @@ def main():
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=args.horizon, population=args.population,
                       iterations=2, sigma=0.12)
-    if element_id == 2:
-        crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
-                                    crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4)]
-    elif element_id == 3:
-        # running jump onto the 0.25 m cube steps (the highstep walk
-        # mounts the 0.1 m step but stalls at the 0.25 m face — measured
-        # in tools/debug_traversal.py; the jump clip clears ~0.4 m)
-        priors = [(0, None), (1, None)]
-    else:
-        priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
         model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
@@ -112,29 +87,27 @@ def main():
     loop = me.RUN_LOOP if min(float(s.target_spd), args.spd_cap) > 1.2 \
         else me.CLIP_LOOP
     t_walk = loop[0]
-    t_jump = me.JUMP_T0 if element_id in (1, 3) else me.CLIP_LOOP[0]
+    t_skill = skill["t0"] if skill["kind"] == "play" else skill["loop"][0]
     spd_cmd = jnp.minimum(s.target_spd, args.spd_cap)
     for t in range(args.cap):
         key, k, ke = jax.random.split(key, 3)
         gate = me.gate_skill(s.scene, s.robot.base_pos, element_id)
+        spd_t = jnp.minimum(spd_cmd, me.approach_speed_cap(
+            s.scene, s.robot.base_pos, element_id, args.spd_cap))
         tgt, u, sel, diag = ctrl(
-            k, s.robot, s.scene, s.target_pos, spd_cmd,
-            jnp.asarray([t_walk, t_jump], jnp.float32), u,
+            k, s.robot, s.scene, s.target_pos, spd_t,
+            jnp.asarray([t_walk, t_skill], jnp.float32), u,
             jnp.asarray(gate, jnp.int32),
         )
         s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
         t_walk = me._advance_clip(t_walk, loop)
-        if element_id in (1, 3):
-            if gate == 1:
-                t_jump = min(t_jump + 0.02, me.JUMP_END)
-                if t_jump >= me.JUMP_END:
-                    t_jump = me.JUMP_T0
-            else:
-                t_jump = max(me.JUMP_T0, t_jump - 0.06)
+        engaged = int(sel) == 1 if gate < 0 else gate == 1
+        if skill["kind"] == "loop" and args.clip_rate != 1.0:
+            t_skill += 0.02 * args.clip_rate
+            if t_skill > skill["loop"][1]:
+                t_skill = skill["loop"][0]
         else:
-            t_jump += 0.02 * args.clip_rate
-            if t_jump > me.CLIP_LOOP[1]:
-                t_jump = me.CLIP_LOOP[0]
+            t_skill = me.advance_skill_clip(t_skill, skill, engaged)
         if t % args.log_every == 0:
             p = np.asarray(s.robot.base_pos)
             v = np.asarray(s.robot.base_lin_vel)

@@ -82,13 +82,22 @@ def gate_skill(scene, base_pos, element_id):
         # priors' weighted costs compete engages it only when beneficial)
         return -1
     elif element_id == 2:  # holes: elevated bars -> crouch-crawl
+        # exit 0.25: body tail clears at base ~bar_edge+0.2; a longer gated
+        # zone kept the crawl engaged past the bar and it stalled crouched
         obst = a & (bottom > 0.15) & (top > 0.3)
-        enter, exit_ = 0.55, 0.4
-    elif element_id == 3:  # cubes: 0.25 m steps -> running jump; gate on
-        # the TALL cubes only (the 0.1 m aprons are walkable) with a long
-        # approach so the jump builds speed
-        obst = a & (bottom < 0.02) & (top > 0.15) & (top <= 0.3)
-        enter, exit_ = 1.0, 0.6
+        enter, exit_ = 0.55, 0.25
+    elif element_id == 3:  # cubes
+        if os.environ.get("LIFELIKE_CUBE_SKILL", "mantle") == "highstep":
+            # looping climb handles every step face: gate on any cube top
+            obst = a & (bottom < 0.02) & (top > 0.05) & (top <= 0.3)
+            enter, exit_ = 0.5, 0.4
+        else:
+            # distilled running mantle; gate on the TALL faces only (0.1 m
+            # aprons are walkable) and only in the final approach —
+            # engaging a 3.4 m/s maneuver a full metre out (at the apron)
+            # bounced the robot backward
+            obst = a & (bottom < 0.02) & (top > 0.15) & (top <= 0.3)
+            enter, exit_ = 0.6, 0.5
     else:
         return 0
     near = obst & ((c[:, 0] - h[:, 0]) - x < enter) & (
@@ -97,27 +106,31 @@ def gate_skill(scene, base_pos, element_id):
     return 1 if bool(near.any()) else 0
 
 
-def eval_traversal(seeds, cap, element_id, population, horizon):
-    """Gait-prior traversal MPC (mpc_tasks.make_gait_traversal_controller:
-    the solver-side LLC/MLC split; raw-delta MPPI cannot synthesize a gait
-    and collapses — see rollout_tasks.rollout_traversal_gait)."""
-    from lifelike_tpu.envs import playground
-    from lifelike_tpu.motion import motion_lib
-    from lifelike_tpu.physics import batched as B
-    from lifelike_tpu.robot.model import build_max_model
-    from lifelike_tpu.scene import playground_gen
-    from lifelike_tpu.solver import mpc_tasks
-    from lifelike_tpu.solver.mppi import MPPIConfig
+PRIOR_DIR = os.path.join(REPO, "lifelike_tpu", "data", "priors")
 
+
+def build_prior_bank(model, element_id):
+    """Clip bank + per-element skill priors for the traversal MPC.
+
+    Bank: walk/run loop + running jump + SYNTHESIZED crouch-walk and
+    high-step climb variants (motion_lib.crouch_variant / highstep_variant)
+    + DISTILLED maneuvers mined from the imported reference checkpoints by
+    tools/distill_prior.py when present (lifelike_tpu/data/priors/*.json):
+    the hole model's fast crawl (~1.1 m/s, base z <= 0.26 — the synthesized
+    crouch manages ~0.1-0.15 m/s closed-loop and times out on 15 m
+    courses) and the cube model's running mantle onto 0.25 m faces.
+
+    Returns (clips, priors, skill) where priors feeds
+    mpc_tasks.make_multigait_traversal_controller and skill describes the
+    second prior's clip-time protocol for the eval loop:
+      kind='loop'  t advances 0.02/step, wraps over skill['loop']
+      kind='play'  gated play-through: t0 -> end while engaged, else rewind
+    """
     import json as _json
 
-    model = build_max_model()
-    # clip bank: walk/run loop + running jump + SYNTHESIZED crouch-walk and
-    # high-step climb variants (no crawl/climb clips exist in the reference
-    # library; see motion_lib.crouch_variant / highstep_variant). The crouch
-    # crouch fold (0.4/1.1) crawls at ~0.24 m/s open-loop with the body
-    # top at ~0.23 m under PD sag — it fits the 0.25-0.3 m hole gaps and,
-    # unlike deeper folds, keeps the feet (not the knee wheels) carrying.
+    from lifelike_tpu.costs.traversal import TraversalWeights
+    from lifelike_tpu.motion import motion_lib
+
     walk_fr = np.asarray(_json.load(open(WALK_CLIP))["Frames"], np.float32)
     jump_fr = np.asarray(_json.load(open(JUMP_CLIP))["Frames"], np.float32)
     crouch_fr = motion_lib.crouch_variant(
@@ -127,8 +140,116 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     climb_fr = motion_lib.highstep_variant(
         walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
     )
-    clips = motion_lib.pack_clips([walk_fr, jump_fr, crouch_fr, climb_fr],
-                                  frame_step=1.0 / 120.0)
+    bank = [walk_fr, jump_fr, crouch_fr, climb_fr]
+    distilled = {}
+    for name in ("hole_crawl", "cube_mantle"):
+        path = os.path.join(PRIOR_DIR, f"{name}.json")
+        if os.path.exists(path):
+            fr = np.asarray(_json.load(open(path))["Frames"], np.float32)
+            if name == "hole_crawl":
+                # tile the ~1.2 s crawl cycle 3x (x-advanced copies) so the
+                # horizon lookahead past the loop seam stays in-gait instead
+                # of clamping at the final frame
+                dx = fr[-1, 0] - fr[0, 0]
+                tiles = [fr]
+                for i in (1, 2):
+                    t2 = fr.copy()
+                    t2[:, 0] += i * dx
+                    tiles.append(t2)
+                fr = np.concatenate(tiles, axis=0)
+            distilled[name] = len(bank)
+            bank.append(fr)
+    clips = motion_lib.pack_clips(bank, frame_step=1.0 / 120.0)
+
+    if element_id == 2:
+        if "hole_crawl" in distilled:
+            # distilled fast crawl: relax the stand-height hinge to its
+            # recorded base band (0.16-0.26), mark elevated bars crawlable,
+            # press under bars with a ceiling just above the crawl posture,
+            # and plan near the maneuver's natural speed. height floor is
+            # STRONG (8.0 @ 0.14): with the 2.0 default the solver collapsed
+            # to z~0.06 under bar 2 and stalled lying down (measured,
+            # debug_traversal seed 0)
+            crawl_w = TraversalWeights(height_min=0.14, height=8.0, pose=0.0,
+                                       crawl_gap=0.18, ceiling=0.20)
+            n = distilled["hole_crawl"]
+            cyc = (int(clips.lengths[n]) // 3) / 120.0  # one crawl cycle
+            # spd 0.8 / gait pull 1.0 measured best (1.0/2.0 crawled SLOWER
+            # and drifted sideways, debug_traversal seed 0)
+            priors = [(0, None), (n, crawl_w, 0.8)]
+            skill = dict(kind="loop", loop=(0.0, 2.0 * cyc))
+        else:
+            crouch_w = TraversalWeights(height_min=0.06, height=2.0,
+                                        pose=0.0, crawl_gap=0.18,
+                                        ceiling=0.13)
+            priors = [(0, None), (2, crouch_w, 0.4)]
+            skill = dict(kind="loop", loop=CLIP_LOOP)
+    elif element_id == 3:
+        cube_skill = os.environ.get("LIFELIKE_CUBE_SKILL", "mantle")
+        if cube_skill == "highstep":
+            # looping high-step climb: the course mounts in +0.1/+0.15
+            # increments (apron 0.1, then 0.25 tops are +0.15 from the
+            # apron), which the lifted swing arcs can step onto
+            priors = [(0, None), (3, None)]
+            skill = dict(kind="loop", loop=CLIP_LOOP)
+        elif "cube_mantle" in distilled:
+            n = distilled["cube_mantle"]
+            end = (int(clips.lengths[n]) - 1) / 120.0
+            priors = [(0, None), (n, None)]
+            skill = dict(kind="play", t0=0.0, end=float(end), rewind=0.06)
+        else:
+            priors = [(0, None), (1, None)]
+            skill = dict(kind="play", t0=JUMP_T0, end=JUMP_END, rewind=0.06)
+    else:
+        priors = [(0, None), (1, None)]
+        skill = dict(kind="play", t0=JUMP_T0, end=JUMP_END, rewind=0.06)
+    return clips, priors, skill
+
+
+def advance_skill_clip(t, skill, engaged):
+    """Next skill-prior clip time under the skill's protocol (host-side)."""
+    if skill["kind"] == "loop":
+        return _advance_clip(t, skill["loop"])
+    if engaged:  # play the maneuver through, then rearm
+        t = min(t + 0.02, skill["end"])
+        return skill["t0"] if t >= skill["end"] else t
+    return max(skill["t0"], t - skill["rewind"])
+
+
+def approach_speed_cap(scene, base_pos, element_id, spd_cap):
+    """Slow-approach zone for hole bars: walking INTO a crawl bar at ~1 m/s
+    folds down mid-stride and stumbles (measured: bar-2 entries at vx 0.95
+    dropped upz to 0.86 and cost ~2 s of recovery, debug_traversal seed 0).
+    Cap the commanded speed while the next bar's front face is within
+    1.2 m so the fold happens at walking-to-crawl pace."""
+    if element_id != 2:
+        return spd_cap
+    c = np.asarray(scene.center)
+    h = np.asarray(scene.half)
+    a = np.asarray(scene.active).astype(bool)
+    bars = a & ((c[:, 2] - h[:, 2]) > 0.15) & ((c[:, 2] + h[:, 2]) > 0.3)
+    if not bars.any():
+        return spd_cap
+    ahead = (c[bars, 0] - h[bars, 0]) - float(np.asarray(base_pos)[0])
+    ahead = ahead[ahead > -0.5]
+    if ahead.size and float(ahead.min()) < 1.2:
+        return min(spd_cap, 0.6)
+    return spd_cap
+
+
+def eval_traversal(seeds, cap, element_id, population, horizon):
+    """Gait-prior traversal MPC (mpc_tasks.make_gait_traversal_controller:
+    the solver-side LLC/MLC split; raw-delta MPPI cannot synthesize a gait
+    and collapses — see rollout_tasks.rollout_traversal_gait)."""
+    from lifelike_tpu.envs import playground
+    from lifelike_tpu.physics import batched as B
+    from lifelike_tpu.robot.model import build_max_model
+    from lifelike_tpu.scene import playground_gen
+    from lifelike_tpu.solver import mpc_tasks
+    from lifelike_tpu.solver.mppi import MPPIConfig
+
+    model = build_max_model()
+    clips, priors, skill = build_prior_bank(model, element_id)
     # reference EVAL config parity (test_environmental_level_env.py:16-35):
     # friction 0.4-1.0 (training uses 0.4-3.0), pushes stay ON
     cfg = playground.PlaygroundConfig(
@@ -138,30 +259,11 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
     c = B.tl_constants(model)
     mcfg = MPPIConfig(horizon=horizon, population=population, iterations=2,
                       sigma=0.12)
-    # skill bank per course: [walk, element skill], selection GATED by scene
-    # geometry (gate_skill). The crouch prior relaxes the stand-height hinge
-    # (crawling under the bar is the point), marks elevated bars crawlable
-    # for the clearance hinge (crawl_gap), and plans at a fraction of the
-    # commanded speed; the climb prior lifts the swing arcs for cube steps.
-    from lifelike_tpu.costs.traversal import TraversalWeights
-
-    if element_id == 2:
-        crouch_w = TraversalWeights(height_min=0.06, height=2.0, pose=0.0,
-                                    crawl_gap=0.18, ceiling=0.13)
-        priors = [(0, None), (2, crouch_w, 0.4)]
-    elif element_id == 3:
-        # running jump onto the 0.25 m cube steps (the highstep walk
-        # mounts the 0.1 m step but stalls at the 0.25 m face — measured
-        # in tools/debug_traversal.py; the jump clip clears ~0.4 m)
-        priors = [(0, None), (1, None)]
-    else:
-        priors = [(0, None), (1, None)]
     ctrl = mpc_tasks.make_multigait_traversal_controller(
         model, c, cfg.params, mcfg, clips, priors=priors,
         reward_type=cfg.reward_type, max_steps=cfg.max_steps,
         fused=jax.default_backend() != "cpu",
     )
-    second_is_jump = element_id in (1, 3)
     step = jax.jit(lambda st, a, k: playground.step(model, cfg, st, a, k))
 
     results = []
@@ -175,37 +277,40 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         u = jnp.zeros((2, mcfg.horizon, 4, 3))
         # gait section matched to the CAPPED commanded speed (the clip
         # walks ~0.8 m/s early and runs ~2-3 m/s after t=6)
-        loop = RUN_LOOP if min(float(s.target_spd), 1.3) > 1.2 else CLIP_LOOP
+        cap13 = 3.0 if element_id == 3 else 1.3
+        loop = RUN_LOOP if min(float(s.target_spd), cap13) > 1.2 \
+            else CLIP_LOOP
         t_walk = loop[0]
-        t_jump = JUMP_T0 if second_is_jump else CLIP_LOOP[0]
+        t_skill = skill["t0"] if skill["kind"] == "play" else skill["loop"][0]
         outcome = "timeout"
         reward_sum, t = 0.0, 0
         jumps = 0
         # solver-side robustness choice: plan at a capped speed (the env
         # keeps its own sampled target_spd for rewards); reach-without-fall
-        # favors steady progress over sprinting into obstacles
-        spd_cmd = jnp.minimum(s.target_spd, 1.3)
+        # favors steady progress over sprinting into obstacles. Cube courses
+        # are the exception: the distilled mantle was recorded at ~3.4 m/s
+        # and mounting a 0.25 m face needs that momentum (the reference cube
+        # eval also commands 3.0, test_environmental_level_env.py).
+        spd_cap = 3.0 if element_id == 3 else 1.3
+        spd_cmd = jnp.minimum(s.target_spd, spd_cap)
         for t in range(cap):
             key, k, ke = jax.random.split(key, 3)
             gate = gate_skill(s.scene, s.robot.base_pos, element_id)
+            spd_t = jnp.minimum(
+                spd_cmd,
+                approach_speed_cap(s.scene, s.robot.base_pos, element_id,
+                                   spd_cap),
+            )
             tgt, u, sel, _ = ctrl(
-                k, s.robot, s.scene, s.target_pos, spd_cmd,
-                jnp.asarray([t_walk, t_jump], jnp.float32), u,
+                k, s.robot, s.scene, s.target_pos, spd_t,
+                jnp.asarray([t_walk, t_skill], jnp.float32), u,
                 jnp.asarray(gate, jnp.int32),
             )
             s, obs, r, done, info = step(s, tgt - s.robot.joint_pos, ke)
             t_walk = _advance_clip(t_walk, loop)
             engaged = int(sel) == 1 if gate < 0 else gate == 1
             jumps += engaged
-            if second_is_jump:
-                if engaged:  # jump selected/gated: play it through
-                    t_jump = min(t_jump + 0.02, JUMP_END)
-                    if t_jump >= JUMP_END:
-                        t_jump = JUMP_T0
-                else:  # rewind an un-engaged jump toward its approach
-                    t_jump = max(JUMP_T0, t_jump - 0.06)
-            else:  # crouch/climb priors loop in phase with the walk
-                t_jump = _advance_clip(t_jump, CLIP_LOOP)
+            t_skill = advance_skill_clip(t_skill, skill, engaged)
             reward_sum += float(r)
             if bool(done):
                 outcome = ("reached" if bool(info["reached"])
