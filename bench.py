@@ -266,7 +266,7 @@ def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
 
 
 def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16,
-               fused=False):
+               fused=False, bs_tile=None):
     from lifelike_tpu.physics import batched as B
     from lifelike_tpu.physics import engine, engine_tl
     from lifelike_tpu.robot.model import build_max_model
@@ -314,6 +314,7 @@ def bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze, contact_k=16,
             return traversal_pallas.rollout_traversal_fused(
                 sm, params, state_k, u_cand, btab, ref, tgt,
                 jnp.asarray(1.5, jnp.float32), "joystick", gait_weight=0.0,
+                bs_tile=bs_tile,
             )
     else:
         def rollout_fn(state_k, u_cand):
@@ -581,12 +582,16 @@ def main():
         pop, horizon, substeps, reps, m_hi, 1, fused, bs_tile
     )
     emit(name + "_exact", ms_x)
+    contact_k = int(os.environ.get("BENCH_CONTACT_K", 16))
+    epmc_tile = int(os.environ.get("BENCH_EPMC_TILE", 0)) or None
     name, ms_e = bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze,
-                            fused=fused)
+                            contact_k=contact_k, fused=fused,
+                            bs_tile=epmc_tile)
     emit(name, ms_e)
     if fused:
         name, ms_ex = bench_epmc(pop, horizon, substeps, reps, m_hi,
-                                 mass_freeze, fused=False)
+                                 mass_freeze, contact_k=contact_k,
+                                 fused=False)
         emit(name + "_exact", ms_ex)
     name, ms_s = bench_sepmc(pop, horizon, substeps, reps, m_hi, mass_freeze,
                              fused=fused)

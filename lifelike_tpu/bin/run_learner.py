@@ -199,6 +199,13 @@ def main(argv):
         params, opt_state, env_state = (
             live["params"], live["opt_state"], live["env_state"]
         )
+        # VQ codebook health: EMA of per-code usage + periodic dead-code
+        # restarts (models.pmc.restart_dead_codes — plain VQ collapsed to
+        # perplexity 1.6 within 3k updates without this)
+        from lifelike_tpu.models.pmc import restart_dead_codes
+
+        code_usage = np.zeros(net.cfg.num_embeddings)
+        restart_rng = np.random.default_rng(FLAGS.seed + 7777)
         for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
@@ -209,6 +216,17 @@ def main(argv):
                 dist.fetch(metrics.pop("clip_reward_sum")),
                 dist.fetch(metrics.pop("clip_ep_count")),
             )
+            code_usage = 0.98 * code_usage + dist.fetch(
+                metrics.pop("code_counts")
+            )
+            if (i + 1) % 100 == 0:
+                params, n_restart = restart_dead_codes(
+                    params, code_usage, restart_rng
+                )
+                if n_restart:
+                    if nproc > 1:
+                        params = dist.replicate(mesh, params)
+                    logging.info("restarted %d dead VQ codes", n_restart)
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
                         env_state=env_state)

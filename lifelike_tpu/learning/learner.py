@@ -106,6 +106,13 @@ def collect_rollout(
             jax.ops.segment_sum(
                 ended.reshape(-1), ep_clip.reshape(-1), num_segments=n_clips
             ),
+            # per-code selection counts for host-side dead-code restarts
+            # (models.pmc.restart_dead_codes)
+            jax.ops.segment_sum(
+                jnp.ones(out.z_idx.size, jnp.float32),
+                out.z_idx.reshape(-1),
+                num_segments=net.cfg.num_embeddings,
+            ),
         )
         return env_state, (data, stats)
 
@@ -189,7 +196,8 @@ def learner_step(
     params, opt_state, metrics = train_step(
         net, optimizer, cfg, params, opt_state, rollout, axis_name
     )
-    metrics["clip_reward_sum"], metrics["clip_ep_count"] = clip_stats
+    (metrics["clip_reward_sum"], metrics["clip_ep_count"],
+     metrics["code_counts"]) = clip_stats
     return params, opt_state, env_state, metrics
 
 
@@ -239,5 +247,6 @@ def learner_step_replayed(
         upd, (params, opt_state), jax.random.split(k_upd, cfg.num_updates)
     )
     metrics = jax.tree.map(lambda m: m[-1], metrics)
-    metrics["clip_reward_sum"], metrics["clip_ep_count"] = clip_stats
+    (metrics["clip_reward_sum"], metrics["clip_ep_count"],
+     metrics["code_counts"]) = clip_stats
     return params, opt_state, env_state, replay, metrics

@@ -179,3 +179,51 @@ class PMCNet(nn.Module):
         """LLC decode for a discrete codebook index (EPMC A_Z action path)."""
         prop_rms, _ = self.prop_rms(self._prop_in(prop, prop_a))
         return self.llc(prop_rms, self.llc.lookup(z_idx))
+
+
+def restart_dead_codes(params, usage, rng, min_frac=1.0 / 1024.0,
+                       jitter=0.03):
+    """Host-side VQ dead-code restart (codebook-collapse counter-measure).
+
+    Plain VQ with a codebook loss has a rich-get-richer failure: codes that
+    stop being selected receive no gradient and die, and the perplexity
+    collapses toward 1 (measured in the round-5 from-scratch PMC run:
+    206 -> 1.6 over 3k updates at the reference lr). The standard fix is to
+    re-seed dead codes near live ones: every code whose recent usage
+    fraction is below `min_frac` is set to a usage-weighted random LIVE
+    code plus small jitter, so the next nearest-neighbor assignment splits
+    that live code's cluster. Deterministic given (usage, rng) — every
+    data-parallel process computes the identical restart, keeping
+    replicated params in sync.
+
+    params: the learner's full param dict ({'params': {'llc':
+    {'embedding': (z_len, K)}}}); usage: (K,) recent selection counts
+    (learner metrics 'code_counts' EMA). Returns (params, n_restarted).
+    """
+    import numpy as np
+
+    cb = np.asarray(params["params"]["llc"]["embedding"])  # (z_len, K)
+    usage = np.asarray(usage, np.float64)
+    total = usage.sum()
+    if total <= 0:
+        return params, 0
+    dead = usage < min_frac * total
+    n = int(dead.sum())
+    if n == 0 or n == cb.shape[1]:
+        return params, 0
+    live_p = np.where(dead, 0.0, usage)
+    live_p = live_p / live_p.sum()
+    donors = rng.choice(cb.shape[1], size=n, p=live_p)
+    scale = cb[:, ~dead].std() + 1e-6
+    cb2 = cb.copy()
+    cb2[:, dead] = (
+        cb[:, donors]
+        + jitter * scale * rng.standard_normal((cb.shape[0], n))
+    )
+    new = jax.tree.map(lambda x: x, params)  # shallow structural copy
+    new["params"] = dict(new["params"])
+    new["params"]["llc"] = dict(new["params"]["llc"])
+    new["params"]["llc"]["embedding"] = jnp.asarray(
+        cb2, params["params"]["llc"]["embedding"].dtype
+    )
+    return new, n

@@ -26,6 +26,7 @@ compatible jnp arrays (tiles). Vectors are length-3 tuples, matrices
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -661,9 +662,9 @@ def plane_contact_force(p, v, radius, cp, mu):
     vn = v[2]
     fn = cp.kn * pen + cp.dn * jnp.maximum(-vn, 0.0) * in_contact
     fn = jnp.maximum(fn, 0.0) * in_contact
-    vt_norm = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + 1e-12)
+    vt2 = v[0] * v[0] + v[1] * v[1] + 1e-12
     coef = jnp.minimum(
-        mul(mu, fn) / jnp.sqrt(vt_norm**2 + cp.v_slip**2), cp.fric_visc_cap
+        mul(mu, fn) * jax.lax.rsqrt(vt2 + cp.v_slip**2), cp.fric_visc_cap
     )
     return (neg(mul(coef, v[0])), neg(mul(coef, v[1])), fn)
 
@@ -680,15 +681,19 @@ def box_forces(p, v, radius, bx, cp, mu):
     r = (p[0] - cx, p[1] - cy, p[2] - cz)  # (K, Bs, L)
     q = (jnp.abs(r[0]) - hx, jnp.abs(r[1]) - hy, jnp.abs(r[2]) - hz)
     o = tuple(jnp.maximum(qi, 0.0) for qi in q)
-    d_out = jnp.sqrt(o[0] * o[0] + o[1] * o[1] + o[2] * o[2] + 1e-9)
+    d2 = o[0] * o[0] + o[1] * o[1] + o[2] * o[2] + 1e-9
+    d_out = jnp.sqrt(d2)
+    inv_dout = jax.lax.rsqrt(d2)  # divides are multi-cycle on the VPU;
     d_in = jnp.maximum(jnp.maximum(q[0], q[1]), q[2])
     inside = d_in < 0.0
     dist = jnp.where(inside, d_in, d_out)
     sign = tuple(jnp.where(ri >= 0.0, 1.0, -1.0) for ri in r)
     face = tuple((qi >= d_in).astype(d_out.dtype) for qi in q)
-    fsum = jnp.maximum(face[0] + face[1] + face[2], 1.0)
+    # reciprocal-multiply in place of the 6 per-component divides
+    inv_fsum = 1.0 / jnp.maximum(face[0] + face[1] + face[2], 1.0)
     n = tuple(
-        jnp.where(inside, sign[i] * face[i] / fsum, sign[i] * o[i] / d_out)
+        jnp.where(inside, sign[i] * face[i] * inv_fsum,
+                  sign[i] * o[i] * inv_dout)
         for i in range(3)
     )
     pen = jnp.maximum(radius - dist, 0.0)
@@ -699,7 +704,8 @@ def box_forces(p, v, radius, bx, cp, mu):
     vt = tuple(v[i] - vn * n[i] for i in range(3))
     vt2 = vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2]
     coef = jnp.minimum(
-        mul(mu, fn) / jnp.sqrt(vt2 + 1e-12 + cp.v_slip**2), cp.fric_visc_cap
+        mul(mu, fn) * jax.lax.rsqrt(vt2 + 1e-12 + cp.v_slip**2),
+        cp.fric_visc_cap,
     )
     return tuple(
         jnp.sum((fn * n[i] - coef * vt[i]) * act, axis=0) for i in range(3)

@@ -17,6 +17,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import importlib.util
 
 import jax
+
+# CPU by default: the axon TPU tunnel is SINGLE-TENANT — a debug episode
+# sharing it with a training run stalls (observed: the PMC learner stopped
+# logging for 20+ min while two of these ran). Set LIFELIKE_DEBUG_TPU=1 to
+# deliberately use the chip when nothing else is on it.
+if not int(os.environ.get("LIFELIKE_DEBUG_TPU", "0")):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -174,9 +174,9 @@ def build_prior_bank(model, element_id):
                                        crawl_gap=0.18, ceiling=0.20)
             n = distilled["hole_crawl"]
             cyc = (int(clips.lengths[n]) // 3) / 120.0  # one crawl cycle
-            # spd 0.8 / gait pull 1.0 measured best (1.0/2.0 crawled SLOWER
+            # spd 0.9 / gait pull 1.0 measured best (1.0/2.0 crawled SLOWER
             # and drifted sideways, debug_traversal seed 0)
-            priors = [(0, None), (n, crawl_w, 0.8)]
+            priors = [(0, None), (n, crawl_w, 0.9)]
             skill = dict(kind="loop", loop=(0.0, 2.0 * cyc))
         else:
             crouch_w = TraversalWeights(height_min=0.06, height=2.0,
@@ -185,7 +185,11 @@ def build_prior_bank(model, element_id):
             priors = [(0, None), (2, crouch_w, 0.4)]
             skill = dict(kind="loop", loop=CLIP_LOOP)
     elif element_id == 3:
-        cube_skill = os.environ.get("LIFELIKE_CUBE_SKILL", "mantle")
+        # measured (debug_traversal seed 0): the looping highstep mounts the
+        # 0.1 apron AND the 0.25 cube at ~1.3 m/s commanded (the distilled
+        # 3.4 m/s mantle cannot fire from the apron standstill; 2.0 m/s
+        # shoves the robot against the apron face)
+        cube_skill = os.environ.get("LIFELIKE_CUBE_SKILL", "highstep")
         if cube_skill == "highstep":
             # looping high-step climb: the course mounts in +0.1/+0.15
             # increments (apron 0.1, then 0.25 tops are +0.15 from the
@@ -221,7 +225,8 @@ def approach_speed_cap(scene, base_pos, element_id, spd_cap):
     folds down mid-stride and stumbles (measured: bar-2 entries at vx 0.95
     dropped upz to 0.86 and cost ~2 s of recovery, debug_traversal seed 0).
     Cap the commanded speed while the next bar's front face is within
-    1.2 m so the fold happens at walking-to-crawl pace."""
+    0.8 m so the fold happens at walking-to-crawl pace (1.2 m @ 0.6 was
+    safe but cost ~0.7 s per bar against the 1000-step course budget)."""
     if element_id != 2:
         return spd_cap
     c = np.asarray(scene.center)
@@ -232,8 +237,8 @@ def approach_speed_cap(scene, base_pos, element_id, spd_cap):
         return spd_cap
     ahead = (c[bars, 0] - h[bars, 0]) - float(np.asarray(base_pos)[0])
     ahead = ahead[ahead > -0.5]
-    if ahead.size and float(ahead.min()) < 1.2:
-        return min(spd_cap, 0.6)
+    if ahead.size and float(ahead.min()) < 0.8:
+        return min(spd_cap, 0.7)
     return spd_cap
 
 
@@ -277,8 +282,7 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         u = jnp.zeros((2, mcfg.horizon, 4, 3))
         # gait section matched to the CAPPED commanded speed (the clip
         # walks ~0.8 m/s early and runs ~2-3 m/s after t=6)
-        cap13 = 3.0 if element_id == 3 else 1.3
-        loop = RUN_LOOP if min(float(s.target_spd), cap13) > 1.2 \
+        loop = RUN_LOOP if min(float(s.target_spd), 1.3) > 1.2 \
             else CLIP_LOOP
         t_walk = loop[0]
         t_skill = skill["t0"] if skill["kind"] == "play" else skill["loop"][0]
@@ -287,11 +291,9 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
         jumps = 0
         # solver-side robustness choice: plan at a capped speed (the env
         # keeps its own sampled target_spd for rewards); reach-without-fall
-        # favors steady progress over sprinting into obstacles. Cube courses
-        # are the exception: the distilled mantle was recorded at ~3.4 m/s
-        # and mounting a 0.25 m face needs that momentum (the reference cube
-        # eval also commands 3.0, test_environmental_level_env.py).
-        spd_cap = 3.0 if element_id == 3 else 1.3
+        # favors steady progress over sprinting into obstacles (cube
+        # mounting measured best at 1.3 too — 2.0 shoves into the face)
+        spd_cap = 1.3
         spd_cmd = jnp.minimum(s.target_spd, spd_cap)
         for t in range(cap):
             key, k, ke = jax.random.split(key, 3)
@@ -490,40 +492,50 @@ EVAL_ENV_CONFIG = {
 }
 
 
-def eval_checkpoints(episodes, max_steps):
-    """Per-episode rewards of the three imported reference checkpoints,
-    under the REFERENCE eval env configs (EVAL_ENV_CONFIG)."""
+def eval_checkpoints(episodes, max_steps, seeds=3):
+    """Per-episode rewards of the imported reference checkpoints, under the
+    REFERENCE eval env configs (EVAL_ENV_CONFIG), over `seeds` independent
+    seeds x `episodes` episodes each (round-4 weakness: single-digit episode
+    counts made the behavioral claims high-variance)."""
     rows = {}
     for task, path in MODELS.items():
         # --cpu: the axon TPU tunnel is single-tenant and the parent holds
         # it; the nets are tiny so CPU episode rollouts are fine
         cli_task = "epmc" if task.startswith("epmc") else task
-        cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
-               f"--task={cli_task}", f"--model_path={path}", "--cpu",
-               f"--episodes={episodes}", f"--max_steps={max_steps}"]
-        if EVAL_ENV_CONFIG[task]:
-            cmd.append(f"--env_config={EVAL_ENV_CONFIG[task]}")
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=3600, cwd=REPO)
         eps = []
-        for ln in out.stderr.splitlines():
-            flags = "".join(
-                f" {name}" for name, pat in
-                (("REACHED", r"'reached': 1\.0"), ("caught", r"'caught': 1\.0"),
-                 ("fall", r"'fall': 1\.0"))
-                if re.search(pat, ln)
-            )
-            m = re.search(r"episode \d+: reward(?:_sum)? ([-\d.]+) len (\d+)",
-                          ln)
-            if m:
-                eps.append((float(m.group(1)), int(m.group(2)), flags))
-            m2 = re.search(r"episode \d+: rewards \[([-\d., ]+)\] len (\d+)",
-                           ln)
-            if m2:
-                vals = [float(v) for v in m2.group(1).split(",")]
-                eps.append((vals[0], int(m2.group(2)), flags))
-        rows[task] = dict(episodes=eps, rc=out.returncode)
-        print(f"  checkpoint {task}: {eps} (rc={out.returncode})", flush=True)
+        rc = 0
+        for seed in range(seeds):
+            cmd = [sys.executable, "-m", "lifelike_tpu.bin.run_eval",
+                   f"--task={cli_task}", f"--model_path={path}", "--cpu",
+                   f"--episodes={episodes}", f"--max_steps={max_steps}",
+                   f"--seed={seed}"]
+            if EVAL_ENV_CONFIG[task]:
+                cmd.append(f"--env_config={EVAL_ENV_CONFIG[task]}")
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=7200, cwd=REPO)
+            rc = rc or out.returncode
+            for ln in out.stderr.splitlines():
+                flags = "".join(
+                    f" {name}" for name, pat in
+                    (("REACHED", r"'reached': 1\.0"),
+                     ("caught", r"'caught': 1\.0"),
+                     ("fall", r"'fall': 1\.0"))
+                    if re.search(pat, ln)
+                )
+                m = re.search(
+                    r"episode \d+: reward(?:_sum)? ([-\d.]+) len (\d+)", ln
+                )
+                if m:
+                    eps.append((float(m.group(1)), int(m.group(2)), flags))
+                m2 = re.search(
+                    r"episode \d+: rewards \[([-\d., ]+)\] len (\d+)", ln
+                )
+                if m2:
+                    vals = [float(v) for v in m2.group(1).split(",")]
+                    eps.append((vals[0], int(m2.group(2)), flags))
+        rows[task] = dict(episodes=eps, rc=rc)
+        print(f"  checkpoint {task}: {len(eps)} eps "
+              f"{[e[2] or 'run' for e in eps]} (rc={rc})", flush=True)
     return rows
 
 
@@ -534,7 +546,8 @@ def main():
     ap.add_argument("--cap", type=int, default=300)
     ap.add_argument("--population", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=12)
-    ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--episodes", type=int, default=5)
+    ap.add_argument("--ckpt_seeds", type=int, default=3)
     ap.add_argument("--skip_checkpoints", action="store_true")
     ap.add_argument("--only", default="", help="traversal|chase: run one section")
     ap.add_argument("--elements", default="1,2,3",
@@ -622,19 +635,36 @@ def main():
             "",
             "## 3. Imported reference checkpoints (bin/run_eval)",
             "",
-            f"Per-episode reward sums, argmax actions, {args.episodes} "
-            f"episodes x {args.cap} step cap. These are the reference's own "
-            "pretrained models (data/models/*.model) imported through "
-            "compat/tleague_import into the Flax nets.",
+            f"Per-episode reward sums, argmax actions, {args.ckpt_seeds} "
+            f"seeds x {args.episodes} episodes x {args.cap} step cap. These "
+            "are the reference's own pretrained models (data/models/*.model) "
+            "imported through compat/tleague_import into the Flax nets.",
             "",
-            "| checkpoint | per-episode (reward, len) |",
-            "|---|---|",
+            "| checkpoint | n | reward mean+-std | len mean | outcomes | "
+            "per-episode (reward, len) |",
+            "|---|---|---|---|---|---|",
         ]
         print("checkpoint evals:", flush=True)
-        rows = eval_checkpoints(args.episodes, args.cap)
+        rows = eval_checkpoints(args.episodes, args.cap,
+                                seeds=args.ckpt_seeds)
         for task, row in rows.items():
-            eps = ", ".join(f"({r:.2f}, {l}{fl})" for r, l, fl in row["episodes"])
-            lines.append(f"| {os.path.basename(MODELS[task])} | {eps or 'rc=' + str(row['rc'])} |")
+            ep = row["episodes"]
+            if not ep:
+                lines.append(f"| {os.path.basename(MODELS[task])} | 0 | - | "
+                             f"- | rc={row['rc']} | |")
+                continue
+            rs = np.asarray([e[0] for e in ep])
+            ls = np.asarray([e[1] for e in ep])
+            from collections import Counter
+
+            oc = Counter((e[2].strip() or "ran") for e in ep)
+            ocs = ", ".join(f"{k} {v}" for k, v in sorted(oc.items()))
+            detail = ", ".join(f"({r:.2f}, {l}{fl})" for r, l, fl in ep)
+            lines.append(
+                f"| {os.path.basename(MODELS[task])} | {len(ep)} | "
+                f"{rs.mean():.2f}+-{rs.std():.2f} | {ls.mean():.0f} | "
+                f"{ocs} | {detail} |"
+            )
 
     lines += ["", f"Total eval wall time: {time.time() - t0:.0f} s.", ""]
     with open(args.out, "w") as f:
