@@ -582,7 +582,10 @@ def main():
         pop, horizon, substeps, reps, m_hi, 1, fused, bs_tile
     )
     emit(name + "_exact", ms_x)
-    contact_k = int(os.environ.get("BENCH_CONTACT_K", 16))
+    # k=8 contact prune: measured lossless for H<=12 solves on every element
+    # (tests/test_contact_prune.py) and halves the dominant K-vectorized box
+    # contact — 16.6 ms -> 8.6 ms for this row (tools/epmc_sweep.py)
+    contact_k = int(os.environ.get("BENCH_CONTACT_K", 8))
     epmc_tile = int(os.environ.get("BENCH_EPMC_TILE", 0)) or None
     name, ms_e = bench_epmc(pop, horizon, substeps, reps, m_hi, mass_freeze,
                             contact_k=contact_k, fused=fused,

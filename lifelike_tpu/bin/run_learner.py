@@ -37,6 +37,14 @@ flags.DEFINE_string("init_model_subtree", "params/llc",
                     "comma-separated /-paths to load frozen from init_model")
 flags.DEFINE_bool("freeze_init_subtree", True, "freeze loaded subtrees")
 flags.DEFINE_integer("seed", 0, "prng seed")
+flags.DEFINE_bool(
+    "pmc_replay", False,
+    "PMC: stage unrolls through the device replay and run "
+    "cfg.num_updates optimizer steps per unroll (the reference "
+    "rm_size/rollout_len/batch pipeline, run_pg_learner.py:36,42-43) "
+    "instead of one step per unroll. Size learner_config accordingly: an "
+    "unroll yields (unroll_length//rollout_length)*num_envs window slots, "
+    "so replay_size should hold >= 1-2 unrolls.")
 flags.DEFINE_bool("cpu", False, "force CPU backend (debug)")
 flags.DEFINE_string(
     "matmul_precision", "highest",
@@ -185,17 +193,37 @@ def main(argv):
         # per-clip episode stats the learner step accumulates on device
         sampler = motion_lib.PrioritizedClipSampler(bundle.clips.num_clips)
 
-        @jax.jit
-        def train(params, opt_state, env_state, key, clip_probs):
-            return learner.learner_step(
-                net, bundle.model, bundle.clips, bundle.cfg, cfg, optimizer,
-                params, opt_state, env_state, key, clip_probs=clip_probs,
+        if FLAGS.pmc_replay:
+            assert nproc == 1, "pmc_replay is single-process for now"
+            replay = learner.replay_init(
+                net, bundle.model, bundle.clips, bundle.cfg, cfg, env_state
             )
 
+            @jax.jit
+            def train(params, opt_state, env_state, replay, key, clip_probs):
+                return learner.learner_step_replayed(
+                    net, bundle.model, bundle.clips, bundle.cfg, cfg,
+                    optimizer, params, opt_state, env_state, replay, key,
+                    clip_probs=clip_probs,
+                )
+        else:
+            replay = None
+
+            @jax.jit
+            def train(params, opt_state, env_state, key, clip_probs):
+                return learner.learner_step(
+                    net, bundle.model, bundle.clips, bundle.cfg, cfg,
+                    optimizer, params, opt_state, env_state, key,
+                    clip_probs=clip_probs,
+                )
+
         ckpt = _make_ckpt(registry, mesh if nproc > 1 else None)
-        start, key, live = _resume(
-            ckpt, key, params=params, opt_state=opt_state, env_state=env_state
-        )
+        live_trees = dict(params=params, opt_state=opt_state,
+                          env_state=env_state)
+        if replay is not None:
+            live_trees["replay"] = replay
+        start, key, live = _resume(ckpt, key, **live_trees)
+        replay = live.get("replay", replay)
         params, opt_state, env_state = (
             live["params"], live["opt_state"], live["env_state"]
         )
@@ -209,9 +237,15 @@ def main(argv):
         for i in range(start, FLAGS.total_updates):
             key, k = jax.random.split(key)
             t0 = time.time()
-            params, opt_state, env_state, metrics = train(
-                params, opt_state, env_state, k, sampler.probabilities
-            )
+            if replay is not None:
+                params, opt_state, env_state, replay, metrics = train(
+                    params, opt_state, env_state, replay, k,
+                    sampler.probabilities
+                )
+            else:
+                params, opt_state, env_state, metrics = train(
+                    params, opt_state, env_state, k, sampler.probabilities
+                )
             sampler.update_sums(
                 dist.fetch(metrics.pop("clip_reward_sum")),
                 dist.fetch(metrics.pop("clip_ep_count")),
@@ -228,8 +262,9 @@ def main(argv):
                         params = dist.replicate(mesh, params)
                     logging.info("restarted %d dead VQ codes", n_restart)
             _log_publish(i, metrics, t0, cfg, B, params, pool, league)
+            extra = {} if replay is None else {"replay": replay}
             _maybe_save(ckpt, i, params=params, opt_state=opt_state,
-                        env_state=env_state)
+                        env_state=env_state, **extra)
 
     elif FLAGS.task == "epmc":
         from lifelike_tpu.models.epmc import EPMCConfig, EPMCNet

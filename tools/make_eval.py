@@ -549,7 +549,8 @@ def main():
     ap.add_argument("--episodes", type=int, default=5)
     ap.add_argument("--ckpt_seeds", type=int, default=3)
     ap.add_argument("--skip_checkpoints", action="store_true")
-    ap.add_argument("--only", default="", help="traversal|chase: run one section")
+    ap.add_argument("--only", default="",
+                    help="traversal|chase|checkpoints: run one section")
     ap.add_argument("--elements", default="1,2,3",
                     help="comma-separated element_ids for the traversal section")
     args = ap.parse_args()
@@ -574,7 +575,7 @@ def main():
         "| course | success | outcomes (per seed) | mean steps |",
         "|---|---|---|---|",
     ]
-    for eid in (() if args.only == "chase" else elements):
+    for eid in (() if args.only in ("chase", "checkpoints") else elements):
         print(f"traversal element {eid} ({ELEMENT_NAMES[eid]}):", flush=True)
         res = eval_traversal(args.seeds, args.cap, eid, args.population,
                              args.horizon)
@@ -596,7 +597,8 @@ def main():
         "| escapee | catch | outcomes | mean steps |",
         "|---|---|---|---|",
     ]
-    for standing in (() if args.only == "traversal" else (True, False)):
+    for standing in (() if args.only in ("traversal", "checkpoints")
+                     else (True, False)):
         print(f"chase standing={standing}:", flush=True)
         res = eval_chase(args.seeds, args.cap, args.population,
                          args.horizon, standing)
@@ -608,7 +610,7 @@ def main():
             + f"{np.mean([r['steps'] for r in res]):.0f} |"
         )
 
-    if args.only != "traversal":
+    if args.only not in ("traversal", "checkpoints"):
         lines += [
             "",
             "### Full games: flag possession, role swaps, +-1 accounting",
