@@ -82,8 +82,10 @@ def gate_skill(scene, base_pos, element_id):
         # priors' weighted costs compete engages it only when beneficial)
         return -1
     elif element_id == 2:  # holes: elevated bars -> crouch-crawl
-        # exit 0.25: body tail clears at base ~bar_edge+0.2; a longer gated
-        # zone kept the crawl engaged past the bar and it stalled crouched
+        # measured-best window (debug_traversal seed 0, 0.60 m/s course
+        # average): enter 0.55 (a 1.0 m crawl-everything approach was
+        # SLOWER — long gated zones crawl at ~0.4 m/s and drift); exit
+        # 0.25: body tail clears at base ~bar_edge+0.2
         obst = a & (bottom > 0.15) & (top > 0.3)
         enter, exit_ = 0.55, 0.25
     elif element_id == 3:  # cubes
@@ -137,8 +139,14 @@ def build_prior_bank(model, element_id):
         walk_fr, hip_delta=0.4, knee_delta=1.1,
         joint_lower=model.joint_lower, joint_upper=model.joint_upper
     )
+    # gain 2.2 / lift 0.14 (vs the 1.6/0.10 default): measured crossing the
+    # inter-cube trench that blocked every cube course — seed-2 probe went
+    # 2.7 m (stuck at the trench) -> 3.6 m (past both 0.25 cubes)
     climb_fr = motion_lib.highstep_variant(
-        walk_fr, joint_lower=model.joint_lower, joint_upper=model.joint_upper
+        walk_fr,
+        gain=float(os.environ.get("LIFELIKE_HIGHSTEP_GAIN", 2.2)),
+        lift=float(os.environ.get("LIFELIKE_HIGHSTEP_LIFT", 0.14)),
+        joint_lower=model.joint_lower, joint_upper=model.joint_upper
     )
     bank = [walk_fr, jump_fr, crouch_fr, climb_fr]
     distilled = {}
