@@ -201,7 +201,11 @@ def bench_hybrid(pop, horizon, substeps, reps, m_hi, mass_freeze, fused,
         )
     params = engine.PhysicsParams(substeps=substeps, mass_freeze=mass_freeze)
     cfg = mppi.MPPIConfig(horizon=horizon, population=pop, iterations=1)
-    icfg = ilqr.ILQRConfig(iterations=ilqr_iters)
+    icfg = ilqr.ILQRConfig(
+        iterations=ilqr_iters,
+        lin_substeps=int(os.environ.get("BENCH_LIN_SUBSTEPS",
+                                        ilqr.ILQRConfig().lin_substeps)),
+    )
     c = B.tl_constants(model, dtype=jnp.float32)
     state = _stand_state()
     tl = B.tl_from_state(jax.tree.map(lambda x: x[None], state))

@@ -41,16 +41,19 @@ class ILQRConfig(NamedTuple):
     reg_up: float = 10.0
     reg_min: float = 1e-4
     reg_max: float = 1e2
-    # Linearization plant coarseness: the A/B Jacobians come from jacfwd
-    # through a SURROGATE control step that integrates the same 20 ms with
-    # `lin_substeps` coarse substeps and a once-per-step mass factorization,
-    # instead of through all params.substeps (10) exact substeps — a 5x cut
-    # in the dominant linearize() cost. The quadratic cost model stays
-    # exact, and the line search always rolls the TRUE dynamics, so an
-    # approximate Jacobian costs accuracy of the proposed step, never
-    # feasibility; the LM schedule absorbs the difference (measured: cost
-    # improvement preserved, see tests/test_ilqr.py). 0 = exact plant.
-    lin_substeps: int = 2
+    # Linearization plant coarseness: 0 (default) = exact plant. Nonzero
+    # builds the A/B Jacobians by jacfwd through a SURROGATE control step
+    # integrating the same 20 ms in `lin_substeps` coarse substeps — a
+    # substeps/lin_substeps cut in the dominant linearize() cost. MEASURED
+    # FAILED for this plant (BENCH_LIN_SUBSTEPS on the chip): at dt >= 4 ms
+    # the penalty-contact stiffness makes the surrogate's linearization
+    # garbage (kn*dt^2 overshoot), the LM schedule rejects nearly every
+    # proposed step, and the refinement's cost improvement collapses
+    # 0.126 -> 0.012 at both lin_substeps=2 AND 5. Kept as a knob because
+    # the true-dynamics line search makes any value SAFE (never
+    # infeasible), just not useful here. Exact-plant latency is bought
+    # down with iterations instead (see bench.py hybrid row).
+    lin_substeps: int = 0
 
 
 def flatten_state(s: RobotState):

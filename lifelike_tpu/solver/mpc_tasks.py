@@ -20,7 +20,13 @@ from lifelike_tpu.scene import boxes
 from lifelike_tpu.solver import mppi_tl, rollout_tasks
 from lifelike_tpu.solver.mppi import MPPIConfig
 
-CONTACT_K = 16  # nearest-box prune for playground scenes (capacity 48)
+# Nearest-box prune for playground scenes (capacity 48). k=8 is measured
+# LOSSLESS for receding-horizon solves on all three elements — corridor-
+# ranked boxes 9..16 never touch an H-step rollout at the reference
+# obstacle spacings (tests/test_contact_prune.py) — and halves the
+# dominant K-vectorized box-contact work (EPMC fused solve 16.6 -> 8.6 ms,
+# tools/epmc_sweep.py).
+CONTACT_K = 8
 
 
 def _tl_single(robot_state):
