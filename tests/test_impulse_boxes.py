@@ -146,11 +146,19 @@ def test_hurdle_trace_criterion_f64():
 
 
 def test_hurdle_trace_divergence_f32():
-    """Same trace in float32 (TPU dtype): box-contact transitions amplify
-    rounding; pin the measured ceiling rather than the f64 criterion."""
+    """Same trace in float32 (TPU product dtype): the north-star criterion
+    (<1e-2 rad over H=50, BASELINE.md) now holds THROUGH box contact.
+
+    History: with the 102-row (3x2-trunk) system the f32 ceiling was 0.2
+    rad — box-contact transitions chaotically amplify f32 rounding, and
+    accumulator tricks (Kahan, f64 carriers) did not move it (round-4
+    ablation). The round-5 129-row dense-trunk system changes the
+    Gauss-Seidel rounding order and the measured max divergence drops to
+    1.7e-3 rad; pin the criterion with ~3x headroom. If a future row
+    change regresses this, the f64 mode remains the eval plant."""
     errs = _hurdle_trace_errors(jnp.float32)
     assert errs[0] < 1e-5, errs[0]
-    assert errs.max() < 0.2, errs[[0, 9, 24, 49]]
+    assert errs.max() < 6e-3, errs[[0, 9, 24, 49]]
 
 
 def test_trunk_bar_crawl_under_parity():
