@@ -58,6 +58,31 @@ def pack_boxes(scene) -> jnp.ndarray:
     return jnp.concatenate([center, half, active, pad], axis=1)
 
 
+def _scen_mix(n_scen, scen_rows, lanes, dtype):
+    """Scenario-major tiling: combine per-scenario scalars into per-row
+    planes.
+
+    A kernel program whose (n_scen*scen_rows, lanes) block packs n_scen
+    scenarios (scenario g owns rows [g*scen_rows, (g+1)*scen_rows)) cannot
+    read one scalar per program from its ref/task/box tables; mix(read)
+    returns sum_g read(g) * mask_g — exact, since every row sees its own
+    scenario's value * 1.0 plus 0.0 terms. Shrinking the grid this way is
+    what makes tiny-population scenario work (opponent plan rollouts: 16
+    scenarios x 1 useful row) cost ~1 program instead of 16: the sequential
+    H x substeps loop runs per PROGRAM, not per row."""
+    rows = n_scen * scen_rows
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    masks = [(iota // scen_rows == g).astype(dtype) for g in range(n_scen)]
+
+    def mix(read):
+        acc = read(0) * masks[0]
+        for g in range(1, n_scen):
+            acc = acc + read(g) * masks[g]
+        return acc
+
+    return mix, masks
+
+
 def _fall_mask(s: SP.State):
     """rollout_tl.fall_mask_tl in scalars (roll > 45 deg or pitch > 60)."""
     import math
@@ -214,6 +239,8 @@ def _plan_kernel(
     sm: SP.ScalarModel,
     params,
     horizon: int,
+    n_scen: int = 1,
+    scen_rows: int = 0,
 ):
     state = SP.State(
         pb=tuple(bp_ref[i] for i in range(3)),
@@ -223,11 +250,24 @@ def _plan_kernel(
         jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
         jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
     )
-    btab = boxes_ref[0]
-    bx = tuple(btab[:, j][:, None, None] for j in range(7))
+    if n_scen == 1:
+        btab = boxes_ref[0]
+        bx = tuple(btab[:, j][:, None, None] for j in range(7))
+        mix = None
+    else:
+        mix, masks = _scen_mix(n_scen, scen_rows, ctrl_ref.shape[-1],
+                               ctrl_ref.dtype)
+        bx = tuple(
+            sum(boxes_ref[g][:, j][:, None, None] * masks[g][None]
+                for g in range(n_scen))
+            for j in range(7)
+        )
 
     def step(t, s):
-        rd = lambda col: ref_ref[0, t, col]
+        if mix is None:
+            rd = lambda col: ref_ref[0, t, col]
+        else:
+            rd = lambda col: mix(lambda g: ref_ref[g, t, col])
         target = tuple(
             tuple(
                 rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
@@ -274,9 +314,17 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
         ref_packed = jnp.broadcast_to(ref_packed[None],
                                       (S,) + ref_packed.shape)
     dtype = state.base_pos.dtype
-    # lay scenarios on tile rows, 8 sublanes each (Mosaic requires row
-    # blocks divisible by 8): scenario i owns rows [8i, 8i+8)
-    R = 8
+    if batched and S % 8 == 0:
+        # scenario-major tiling: one ROW per scenario, G scenarios per
+        # program (_scen_mix masks select each row's ref/box tables). The
+        # sequential H x substeps loop runs per program, so grid S -> S/G
+        # cuts the plan cost ~G-fold; lanes stay redundant copies. Cap the
+        # double-buffered ctrl block under the 16 MB scoped-vmem limit.
+        G, R = 8, 1
+    else:
+        # lay scenarios on tile rows, 8 sublanes each (Mosaic requires row
+        # blocks divisible by 8): scenario i owns rows [8i, 8i+8)
+        G, R = 1, 8
     state = jax.tree.map(
         lambda x: jnp.repeat(
             jnp.broadcast_to(x, x.shape[:-2] + (S, LANES)), R, axis=-2
@@ -292,19 +340,20 @@ def rollout_plan_fused(model, params, state: B.TLState, u_plan, boxes, ref,
     def spec(shape_prefix):
         nd = len(shape_prefix)
         return pl.BlockSpec(
-            shape_prefix + (R, LANES),
+            shape_prefix + (G * R, LANES),
             (lambda i, _nd=nd: (0,) * _nd + (i, 0)),
             memory_space=pltpu.VMEM,
         )
 
-    kernel = functools.partial(_plan_kernel, sm=sm, params=params, horizon=H)
+    kernel = functools.partial(_plan_kernel, sm=sm, params=params, horizon=H,
+                               n_scen=G, scen_rows=R if G > 1 else 0)
     traj = pl.pallas_call(
         kernel,
-        grid=(S,),
+        grid=(S // G,),
         in_specs=[
-            pl.BlockSpec((1, H, _REF_WIDTH), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, H, _REF_WIDTH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, BOX_WIDTH), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, K, BOX_WIDTH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
@@ -345,6 +394,8 @@ def _chase_kernel(
     weights,
     gait_weight: float,
     gait_vel_weight: float,
+    n_scen: int = 1,
+    scen_rows: int = 0,
 ):
     state = SP.State(
         pb=tuple(bp_ref[i] for i in range(3)),
@@ -354,14 +405,30 @@ def _chase_kernel(
         jq=tuple(tuple(jp_ref[l, j] for j in range(3)) for l in range(4)),
         jqd=tuple(tuple(jv_ref[l, j] for j in range(3)) for l in range(4)),
     )
-    btab = boxes_ref[0]
-    bx = tuple(btab[:, j][:, None, None] for j in range(7))
-    fp = (task_ref[0, 0, 0], task_ref[0, 0, 1])
-    chaser_m = task_ref[0, 0, 2]
+    if n_scen == 1:
+        btab = boxes_ref[0]
+        bx = tuple(btab[:, j][:, None, None] for j in range(7))
+        mix = None
+        fp = (task_ref[0, 0, 0], task_ref[0, 0, 1])
+        chaser_m = task_ref[0, 0, 2]
+    else:
+        mix, masks = _scen_mix(n_scen, scen_rows, ctrl_ref.shape[-1],
+                               ctrl_ref.dtype)
+        bx = tuple(
+            sum(boxes_ref[g][:, j][:, None, None] * masks[g][None]
+                for g in range(n_scen))
+            for j in range(7)
+        )
+        fp = (mix(lambda g: task_ref[g, 0, 0]),
+              mix(lambda g: task_ref[g, 0, 1]))
+        chaser_m = mix(lambda g: task_ref[g, 0, 2])
 
     def step(t, carry):
         s, acc = carry
-        rd = lambda col: ref_ref[0, t, col]
+        if mix is None:
+            rd = lambda col: ref_ref[0, t, col]
+        else:
+            rd = lambda col: mix(lambda g: ref_ref[g, t, col])
         target = tuple(
             tuple(
                 rd(_OFF_TARGET + l * 3 + j) + ctrl_ref[t, l, j]
@@ -431,6 +498,7 @@ def rollout_chase_fused(
     gait_vel_weight=0.02,
     interpret: bool = None,
     bs_tile: int = None,
+    scen_per_prog: int = 1,
 ):
     """Fused replacement for rollout_tasks.rollout_chase_gait (cost only).
 
@@ -464,9 +532,24 @@ def rollout_chase_fused(
         boxes = boxes[None]
     S = boxes.shape[0]
     K = boxes.shape[1]
+    G = 1
     if S > 1:
         assert Bs % S == 0, (Bs, S)
-        bs_tile = Bs // S
+        scen_rows = Bs // S
+        # scenario-major tiling (_scen_mix) is available here too
+        # (scen_per_prog > 1), but at population-sized blocks the chase
+        # kernel is vector-work-bound, not program-overhead-bound:
+        # grouping G=2 scenarios per program MEASURED SLOWER (88 vs 78 ms
+        # at s16 pop1024 H50 on the chip) — larger blocks buy nothing once
+        # every op already fills vregs, and the per-row box planes add
+        # contact work. Default stays one scenario per program; the
+        # grouping pays off in rollout_plan_fused where rows per scenario
+        # are tiny.
+        if scen_per_prog > 1:
+            assert S % scen_per_prog == 0 and \
+                (scen_per_prog * scen_rows) % 8 == 0, (S, scen_per_prog)
+            G = scen_per_prog
+        bs_tile = G * scen_rows
     ref_packed = ref if hasattr(ref, "ndim") else pack_reference(ref)
     if ref_packed.ndim == 2:
         ref_packed = jnp.broadcast_to(ref_packed[None],
@@ -505,14 +588,15 @@ def rollout_chase_fused(
         _chase_kernel, sm=sm, params=params, horizon=H, weights=weights,
         gait_weight=float(gait_weight),
         gait_vel_weight=float(gait_vel_weight),
+        n_scen=G, scen_rows=scen_rows if G > 1 else 0,
     )
     cost = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, _REF_WIDTH), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K, BOX_WIDTH), smap, memory_space=pltpu.VMEM),
             spec((3,)),
             spec((4,)),
             spec((3,)),

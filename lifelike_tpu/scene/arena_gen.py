@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from lifelike_tpu.scene.boxes import BoxScene
 
-CAPACITY = 12
+CAPACITY = 12  # max table rows (all elements enabled); generate() sizes
+               # each table to its config — see the capacity note below
 
 
 class ArenaConfig(NamedTuple):
@@ -23,9 +24,16 @@ class ArenaConfig(NamedTuple):
 
 
 def generate(key, cfg: ArenaConfig, dtype=jnp.float32) -> BoxScene:
-    centers = jnp.zeros((CAPACITY, 3), dtype)
-    halves = jnp.zeros((CAPACITY, 3), dtype)
-    active = jnp.zeros((CAPACITY,), bool)
+    # size the table to what this config can populate (4 walls + the
+    # enabled elements): inactive rows contribute exact zeros to contact,
+    # but they still COST contact compute in every K-vectorized rollout —
+    # solver sweeps at capacity 12 spent 1/6 of their box work on rows
+    # that are structurally empty under rand_cube.
+    capacity = 4 + 6 * bool(cfg.rand_cube) + bool(cfg.hurdle) + \
+        bool(cfg.hole)
+    centers = jnp.zeros((capacity, 3), dtype)
+    halves = jnp.zeros((capacity, 3), dtype)
+    active = jnp.zeros((capacity,), bool)
 
     # walls
     w, l, h = 0.01, 5.0, 2.0

@@ -31,7 +31,9 @@ def _scenarios(n):
 
 def test_generate_scenarios_shapes_and_randomization():
     scen = _scenarios(4)
-    assert scen.scene.center.shape == (4, arena_gen.CAPACITY, 3)
+    # rand_cube tables are sized to what the config can populate
+    # (4 walls + 6 cube slots); structurally-empty rows are not carried
+    assert scen.scene.center.shape == (4, 10, 3)
     assert scen.robots.base_pos.shape == (4, 2, 3)
     assert scen.flag_pos.shape == (4, 3)
     # exactly one chaser per scenario, role randomized across scenarios
