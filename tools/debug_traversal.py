@@ -102,6 +102,8 @@ def main():
         gate = me.gate_skill(s.scene, s.robot.base_pos, element_id)
         spd_t = jnp.minimum(spd_cmd, me.approach_speed_cap(
             s.scene, s.robot.base_pos, element_id, args.spd_cap))
+        spd_t = me.skill_speed_floor(s.scene, s.robot.base_pos,
+                                     element_id, gate, spd_t)
         tgt, u, sel, diag = ctrl(
             k, s.robot, s.scene, s.target_pos, spd_t,
             jnp.asarray([t_walk, t_skill], jnp.float32), u,

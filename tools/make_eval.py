@@ -250,6 +250,35 @@ def approach_speed_cap(scene, base_pos, element_id, spd_cap):
     return spd_cap
 
 
+def skill_speed_floor(scene, base_pos, element_id, gate, spd):
+    """Commanded-speed FLOORS for the hole/cube courses. The env samples
+    target_spd per reset for its reward; success here is reach-without-fall
+    within the step cap, and several sampled speeds are below the pace the
+    course budget requires (element 2 seed 1: target_spd 0.73 on a 17.4 m
+    course = 0.87 m/s needed; element 3 seed 0: 0.97 sampled, and the
+    highstep mounts 0.25 m faces at ~1.3 m/s commanded — below that it
+    stalls pressed on the face, vx 0.17, debug_traversal seed 0). So the
+    solver plans at task-competent speeds: the climb/crawl prior's measured
+    working speed while gated, and a walking floor on open ground (element
+    2: only outside the 0.8 m bar-approach slowdown zone, which must keep
+    its 0.7 cap — walking INTO a bar fast folds down mid-stride)."""
+    if element_id == 3:
+        if gate == 1:
+            return jnp.maximum(spd, float(os.environ.get(
+                "LIFELIKE_CLIMB_SPD", 1.3)))
+        return jnp.maximum(spd, float(os.environ.get(
+            "LIFELIKE_WALK_SPD_FLOOR", 1.15)))
+    if element_id == 2:
+        if gate == 1:
+            return jnp.maximum(spd, float(os.environ.get(
+                "LIFELIKE_CRAWL_SPD", 0.8)))
+        # open ground: floor only outside the approach-slowdown zone
+        if approach_speed_cap(scene, base_pos, 2, 9.9) > 9.0:
+            return jnp.maximum(spd, float(os.environ.get(
+                "LIFELIKE_WALK_SPD_FLOOR", 1.15)))
+    return spd
+
+
 def eval_traversal(seeds, cap, element_id, population, horizon):
     """Gait-prior traversal MPC (mpc_tasks.make_gait_traversal_controller:
     the solver-side LLC/MLC split; raw-delta MPPI cannot synthesize a gait
@@ -311,6 +340,8 @@ def eval_traversal(seeds, cap, element_id, population, horizon):
                 approach_speed_cap(s.scene, s.robot.base_pos, element_id,
                                    spd_cap),
             )
+            spd_t = skill_speed_floor(s.scene, s.robot.base_pos,
+                                      element_id, gate, spd_t)
             tgt, u, sel, _ = ctrl(
                 k, s.robot, s.scene, s.target_pos, spd_t,
                 jnp.asarray([t_walk, t_skill], jnp.float32), u,
