@@ -251,31 +251,37 @@ def approach_speed_cap(scene, base_pos, element_id, spd_cap):
 
 
 def skill_speed_floor(scene, base_pos, element_id, gate, spd):
-    """Commanded-speed FLOORS for the hole/cube courses. The env samples
-    target_spd per reset for its reward; success here is reach-without-fall
-    within the step cap, and several sampled speeds are below the pace the
-    course budget requires (element 2 seed 1: target_spd 0.73 on a 17.4 m
-    course = 0.87 m/s needed; element 3 seed 0: 0.97 sampled, and the
-    highstep mounts 0.25 m faces at ~1.3 m/s commanded — below that it
-    stalls pressed on the face, vx 0.17, debug_traversal seed 0). So the
-    solver plans at task-competent speeds: the climb/crawl prior's measured
-    working speed while gated, and a walking floor on open ground (element
-    2: only outside the 0.8 m bar-approach slowdown zone, which must keep
-    its 0.7 cap — walking INTO a bar fast folds down mid-stride)."""
+    """Commanded-speed FLOORS for the hole/cube courses — OFF by default
+    (env vars LIFELIKE_CLIMB_SPD / LIFELIKE_CRAWL_SPD /
+    LIFELIKE_WALK_SPD_FLOOR, 0 disables).
+
+    Motivation: the env samples target_spd per reset for its reward, and
+    several sampled speeds are below the pace the course budget requires
+    (element 2 seed 1: 0.73 m/s sampled on a 17.4 m course = 0.87 m/s
+    needed within the 1000-step cap; element 3 seed 0: 0.97 sampled, stalls
+    pressed on the first 0.25 m face at vx 0.17). A CPU probe
+    (debug_traversal, pop 512 / H 10, XLA path) showed a 1.3 m/s gated
+    mount floor topping that face at t=225 where the unfloored run stuck
+    indefinitely — but the gain DID NOT TRANSFER to the product eval stack
+    (pop 1024 / H 12, fused Pallas, real chip): floored runs regressed on
+    every cube seed (7.8->2.0, 5.5->3.0 m) and hole seed 0 (10.2->8.0 m) —
+    the faster approach shoves the robot against the face the probe setup
+    happened to clear. Kept as an opt-in experiment lever; the committed
+    EVAL.md numbers are the unfloored controller."""
     if element_id == 3:
         if gate == 1:
-            return jnp.maximum(spd, float(os.environ.get(
-                "LIFELIKE_CLIMB_SPD", 1.3)))
-        return jnp.maximum(spd, float(os.environ.get(
-            "LIFELIKE_WALK_SPD_FLOOR", 1.15)))
+            climb = float(os.environ.get("LIFELIKE_CLIMB_SPD", 0))
+            return jnp.maximum(spd, climb) if climb else spd
+        walk = float(os.environ.get("LIFELIKE_WALK_SPD_FLOOR", 0))
+        return jnp.maximum(spd, walk) if walk else spd
     if element_id == 2:
         if gate == 1:
-            return jnp.maximum(spd, float(os.environ.get(
-                "LIFELIKE_CRAWL_SPD", 0.8)))
+            crawl = float(os.environ.get("LIFELIKE_CRAWL_SPD", 0))
+            return jnp.maximum(spd, crawl) if crawl else spd
         # open ground: floor only outside the approach-slowdown zone
-        if approach_speed_cap(scene, base_pos, 2, 9.9) > 9.0:
-            return jnp.maximum(spd, float(os.environ.get(
-                "LIFELIKE_WALK_SPD_FLOOR", 1.15)))
+        walk = float(os.environ.get("LIFELIKE_WALK_SPD_FLOOR", 0))
+        if walk and approach_speed_cap(scene, base_pos, 2, 9.9) > 9.0:
+            return jnp.maximum(spd, walk)
     return spd
 
 
